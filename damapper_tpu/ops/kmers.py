@@ -1,0 +1,98 @@
+"""K-mer index build: vectorized extraction + sort + frequency culling.
+
+Equivalent of Sort_Kmers (reference map.c:447-822): every k-mer of every read
+as a 2-bit rolling code, skipping soft-masked intervals, sorted by code with
+(read, position) order preserved within equal codes (the reference's LSD radix
+sort is stable and only keys on the code, map.c:316-444), then k-mers occurring
+>= `suppress` times dropped (map.c:590-636).
+
+The numpy implementation is the host path; a jax.lax.sort device path is in
+damapper_tpu.ops.device_index.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class KmerIndex:
+    code: np.ndarray   # uint64[n] sorted ascending
+    read: np.ndarray   # int32[n]  read index within block
+    rpos: np.ndarray   # int32[n]  position of the k-mer's LAST base (0-based)
+
+    def __len__(self):
+        return len(self.code)
+
+
+def _rolling_codes(seq: np.ndarray, kmer: int) -> np.ndarray:
+    """codes[j] = 2-bit big-endian code of seq[j : j+kmer], for j in
+    [0, len-kmer]."""
+    n = len(seq) - kmer + 1
+    if n <= 0:
+        return np.zeros(0, np.uint64)
+    c = np.zeros(n, np.uint64)
+    s = seq.astype(np.uint64)
+    for x in range(kmer):
+        c = (c << np.uint64(2)) | s[x:x + n]
+    if kmer < 32:
+        c &= np.uint64((1 << (2 * kmer)) - 1)
+    return c
+
+
+def extract_kmers(db, kmer: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All k-mers of all reads of a loaded DazzDB in (read, rpos) order.
+    Soft-mask track intervals are skipped: k-mers are taken only from windows
+    fully outside the merged mask intervals (tuple_thread map.c:481-543).
+
+    Returns (code uint64, read int32, rpos int32) with rpos = last-base index.
+    """
+    codes, reads, rposs = [], [], []
+    track = next(iter(db.tracks.values())) if db.tracks else None
+    for i in range(db.nreads):
+        s = db.read_seq(i)
+        rlen = len(s)
+        windows = []
+        if track is not None:
+            anno, data, _ = track
+            seg = data[int(anno[i]):int(anno[i + 1])]
+            p = 0
+            for j in range(0, len(seg), 2):
+                windows.append((p, int(seg[j])))
+                p = int(seg[j + 1])
+            windows.append((p, rlen))
+        else:
+            windows.append((0, rlen))
+        for (p, q) in windows:
+            if p + kmer > q:
+                continue
+            c = _rolling_codes(s[p:q], kmer)
+            m = len(c)
+            codes.append(c)
+            reads.append(np.full(m, i, np.int32))
+            rposs.append(np.arange(p + kmer - 1, q, dtype=np.int32))
+    if not codes:
+        z = np.zeros(0, np.uint64)
+        return z, np.zeros(0, np.int32), np.zeros(0, np.int32)
+    return (np.concatenate(codes), np.concatenate(reads),
+            np.concatenate(rposs))
+
+
+def sort_kmers(db, kmer: int, suppress: int = 0) -> KmerIndex:
+    """Build the sorted, culled k-mer index of a block (Sort_Kmers map.c:655).
+    suppress=0 means no culling (-t absent)."""
+    code, read, rpos = extract_kmers(db, kmer)
+    order = np.argsort(code, kind="stable")
+    code, read, rpos = code[order], read[order], rpos[order]
+    if suppress and len(code):
+        # drop k-mers with multiplicity >= suppress (strict <, map.c:604)
+        boundaries = np.flatnonzero(np.diff(code)) + 1
+        starts = np.concatenate([[0], boundaries])
+        ends = np.concatenate([boundaries, [len(code)]])
+        counts = ends - starts
+        keep_group = counts < suppress
+        keep = np.repeat(keep_group, counts)
+        code, read, rpos = code[keep], read[keep], rpos[keep]
+    return KmerIndex(code, read, rpos)

@@ -1,0 +1,136 @@
+"""Seed matching: sorted k-mer list intersection -> SeedPair hits.
+
+Equivalent of the count/merge passes of Match_Filter (reference map.c:825-1002,
+2889-3135): intersect the reads-block index ("a") with the reference-block
+index ("b"); a first counting pass builds the hit-count histogram used with
+the -M memory limit to derive a multiplicity cap (map.c:2992-3052); groups
+whose a-count*b-count >= limit are dropped; surviving groups emit the cross
+product of (read k-mer) x (contig k-mer) as SeedPairs, finally sorted by
+(aread, bread, apos) with stable order within ties.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .kmers import KmerIndex
+
+MAXGRAM = 10000   # map.c:32
+
+
+@dataclass
+class SeedHits:
+    aread: np.ndarray   # int32 read index (block-local)
+    bread: np.ndarray   # int32 contig index (block-local)
+    apos: np.ndarray    # int32 k-mer end position in read (0-based last base)
+    diag: np.ndarray    # int32 apos - bpos
+
+    def __len__(self):
+        return len(self.aread)
+
+
+def _group_ranges(code: np.ndarray):
+    """starts/ends of equal-code runs in a sorted code array."""
+    if len(code) == 0:
+        return (np.zeros(0, np.int64),) * 2
+    b = np.flatnonzero(np.diff(code)) + 1
+    starts = np.concatenate([[0], b])
+    ends = np.concatenate([b, [len(code)]])
+    return starts, ends
+
+
+def match_limit(hitgram: np.ndarray, mem_limit: int, db_bytes: int,
+                alen: int, blen: int) -> int:
+    """Derive the group-size cap from the histogram and the memory budget
+    (map.c:2992-3052).  Returns MAXGRAM when memory is ample."""
+    avail = (mem_limit - db_bytes) // 16
+    if avail > alen + 2 * blen:
+        avail = (avail - alen) // 2
+    else:
+        avail = avail - (alen + blen)
+    avail = int(avail * .98)
+    tom = 0
+    limit = MAXGRAM
+    for j in range(MAXGRAM):
+        tom += j * int(hitgram[j])
+        if tom > avail:
+            limit = j
+            break
+    if limit <= 1:
+        raise MemoryError("Insufficient memory for seed hits; reduce block "
+                          "size or raise -M")
+    return limit
+
+
+def match_seeds(aidx: KmerIndex, bidx: KmerIndex,
+                mem_limit: int = 0, db_bytes: int = 0) -> SeedHits:
+    """Intersect two sorted k-mer indexes and emit seed pairs.
+
+    aidx: the reads block, bidx: the reference block.  Group emission order
+    matches the reference exactly: ascending code, then a-entries in (read,
+    rpos) order, then b-entries in (read, rpos) order.
+    """
+    empty = SeedHits(*(np.zeros(0, np.int32),) * 4)
+    if len(aidx) == 0 or len(bidx) == 0:
+        return empty
+
+    a_starts, a_ends = _group_ranges(aidx.code)
+    a_codes = aidx.code[a_starts]
+    # locate each a-code group in b
+    b_lo = np.searchsorted(bidx.code, a_codes, side="left")
+    b_hi = np.searchsorted(bidx.code, a_codes, side="right")
+    ca = (a_ends - a_starts)
+    cb = (b_hi - b_lo)
+    hit = cb > 0
+    ct = ca * cb
+
+    if mem_limit > 0:
+        hitgram = np.zeros(MAXGRAM, np.int64)
+        small = hit & (ct < MAXGRAM)
+        np.add.at(hitgram, ct[small], 1)
+        limit = match_limit(hitgram, mem_limit, db_bytes, len(aidx), len(bidx))
+    else:
+        limit = np.iinfo(np.int64).max
+
+    sel = hit & (ct < limit)
+    if not sel.any():
+        return empty
+
+    gs_a, ge_a = a_starts[sel], a_ends[sel]
+    gs_b = b_lo[sel]
+    ncb = cb[sel]
+
+    # expand a rows: every a entry of each selected group
+    na_per_group = (ge_a - gs_a)
+    a_rows = _grouped_arange(gs_a, na_per_group)            # indices into aidx
+    cb_per_arow = np.repeat(ncb, na_per_group)
+    bstart_per_arow = np.repeat(gs_b, na_per_group)
+    # expand b per a-row
+    b_rows = _grouped_arange(bstart_per_arow, cb_per_arow)  # indices into bidx
+    a_all = np.repeat(a_rows, cb_per_arow)
+
+    aread = aidx.read[a_all]
+    apos = aidx.rpos[a_all]
+    bread = bidx.read[b_rows]
+    diag = apos - bidx.rpos[b_rows]
+
+    order = np.lexsort((apos, bread, aread))   # stable; matches radix passes
+    return SeedHits(aread[order].astype(np.int32),
+                    bread[order].astype(np.int32),
+                    apos[order].astype(np.int32),
+                    diag[order].astype(np.int32))
+
+
+def _grouped_arange(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """concat([arange(s, s+c) for s, c in zip(starts, counts)]) vectorized."""
+    counts = counts.astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    ends = np.cumsum(counts)
+    offs = np.arange(total, dtype=np.int64)
+    block = np.repeat(np.arange(len(counts)), counts)
+    block_start = ends - counts
+    return starts.astype(np.int64)[block] + (offs - block_start[block])

@@ -1,0 +1,234 @@
+"""End-to-end mapper: the damapper CLI equivalent (reference damapper.c).
+
+Orchestrates: open reads block -> k-mer index -> for each reference block
+(forward and complemented): k-mer index + seed match + chain accumulation ->
+reporter over the full reference -> sorted .las output (+ -C dual output,
+-p repeat profile track).
+
+The external LAsort/LAcat/LAmerge post-pass of the reference (damapper.c:
+882-911) is replaced by the in-process chain-preserving sort of
+damapper_tpu.io.las.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from ..io import db as dbio
+from ..io import las as lasio
+from ..io.tracks import merge_mask_tracks
+from ..ops.chain import ChainState
+from ..ops.kmers import sort_kmers
+from ..ops.seeds import match_seeds
+from ..ops.spec import new_align_spec
+from .reporter import Reporter
+
+
+def _physical_memory() -> int:
+    try:
+        return os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+    except (ValueError, OSError):
+        return 16 << 30
+
+
+def read_block(path: str, masks: list[str], kmer: int) -> dbio.DazzDB:
+    """Open+trim+load a DB/DAM block with mask tracks (read_DB
+    damapper.c:345-415)."""
+    db = dbio.DazzDB.open(path)
+    for m in masks:
+        dbio.open_mask_track(db, m)
+    db.trim()
+    if len(db.tracks) > 1:
+        merge_mask_tracks(db)
+    if db.cutoff < kmer:
+        if (db.reads["rlen"] < kmer).any():
+            raise ValueError(
+                f"Block {path} contains reads < {kmer}bp long!  Run DBsplit "
+                f"-x{kmer}")
+    db.load_bases()
+    return db
+
+
+class DamapperConfig:
+    def __init__(self, kmer=20, suppress=0, mem_limit=None, ave_error=.85,
+                 spacing=100, best_tie=1.0, masks=(), verbose=False,
+                 profile=False, do_a=True, do_b=False, map_order=True,
+                 wave_backend="oracle"):
+        self.kmer = kmer
+        self.suppress = suppress
+        self.mem_limit = _physical_memory() if mem_limit is None else mem_limit
+        self.ave_error = ave_error
+        self.spacing = spacing
+        self.best_tie = best_tie
+        self.masks = list(masks)
+        self.verbose = verbose
+        self.profile = profile
+        self.do_a = do_a
+        self.do_b = do_b
+        self.map_order = map_order
+        self.wave_backend = wave_backend
+
+
+def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
+                 out_dir: str = "."):
+    """Map one reads DB/block against a reference DAM.  Returns
+    (a_las_path, b_las_path or None)."""
+    pwd, aroot, isdam = dbio._split_db_path(ref_path)
+    aroot_stub, _ = dbio._strip_part(aroot)
+    stubp = os.path.join(pwd, aroot_stub + (".dam" if isdam else ".db"))
+    if not os.path.exists(stubp):
+        other = os.path.join(pwd, aroot_stub + (".db" if isdam else ".dam"))
+        if os.path.exists(other):
+            stubp = other
+        else:
+            raise FileNotFoundError(f"Could not open database {ref_path}")
+    stub = dbio.read_stub(stubp)
+    nblocks = stub.nblocks
+    if nblocks == 0:
+        raise ValueError(f"DB {aroot_stub} has not been partitioned")
+
+    # base frequencies come from the reference .idx header (damapper.c:788-796)
+    with open(os.path.join(pwd, "." + aroot_stub + ".idx"), "rb") as fp:
+        hdr = np.frombuffer(fp.read(dbio.HEADER_DTYPE.itemsize),
+                            dbio.HEADER_DTYPE)[0]
+    spec = new_align_spec(cfg.ave_error, cfg.spacing, np.array(hdr["freq"]),
+                          reach=True)
+
+    bpwd, broot, _ = dbio._split_db_path(reads_path)
+
+    reads_db = read_block(reads_path, cfg.masks, cfg.kmer)
+    bindex = sort_kmers(reads_db, cfg.kmer, cfg.suppress)
+    if cfg.verbose:
+        print(f"Building index for {broot}: {len(bindex)} kmers",
+              file=sys.stderr)
+
+    state = ChainState(reads_db.nreads, cfg.kmer, profile=cfg.profile,
+                       rlens=reads_db.reads["rlen"], spacing=cfg.spacing)
+
+    for k in range(1, nblocks + 1):
+        blk_path = os.path.join(pwd, f"{aroot_stub}.{k}"
+                                + (".dam" if isdam else ".db"))
+        ref_blk = read_block(blk_path, cfg.masks, cfg.kmer)
+        bstart = ref_blk.tfirst
+
+        for comp in (0, 1):
+            if comp:
+                ref_blk.complement_inplace()
+            aindex = sort_kmers(ref_blk, cfg.kmer, cfg.suppress)
+            db_bytes = reads_db.sizeof() + ref_blk.sizeof()
+            hits = match_seeds(bindex, aindex, cfg.mem_limit, db_bytes)
+            if cfg.verbose:
+                print(f"block {k} comp={comp}: {len(hits)} hits",
+                      file=sys.stderr)
+            state.process_hits(hits, bstart, comp)
+
+    ref_full = read_block(os.path.join(pwd, aroot_stub
+                                       + (".dam" if isdam else ".db")),
+                          [], cfg.kmer)
+
+    rep = Reporter(spec, cfg.kmer, cfg.spacing, cfg.best_tie,
+                   do_a=cfg.do_a, do_b=cfg.do_b)
+    profile_out = [] if cfg.profile else None
+    a_recs, b_recs = rep.run(reads_db, ref_full, state,
+                             astart=reads_db.tfirst, profile_out=profile_out)
+
+    a_path = b_path = None
+    if cfg.do_a:
+        a_recs = lasio.sort_las(a_recs, cfg.map_order)
+        a_path = os.path.join(out_dir, f"{broot}.{aroot}.las")
+        lasio.write_las(a_path, a_recs, cfg.spacing)
+    if cfg.do_b:
+        b_recs = lasio.sort_las(b_recs, cfg.map_order)
+        b_path = os.path.join(out_dir, f"{aroot}.{broot}.las")
+        lasio.write_las(b_path, b_recs, cfg.spacing)
+
+    if cfg.profile:
+        anno = np.zeros(reads_db.nreads + 1, np.int64)
+        data = bytearray()
+        for i, logv in enumerate(profile_out):
+            anno[i] = len(data)
+            data += logv.tobytes()
+        anno[reads_db.nreads] = len(data)
+        dbio.write_track(os.path.join(out_dir, "." + broot), "prof",
+                         anno, bytes(data), size=8)
+
+    return a_path, b_path
+
+
+def main_damapper(argv: list[str]) -> int:
+    """CLI with the reference's flag surface (damapper.c:53-56)."""
+    kw = dict()
+    args = []
+    flags = set()
+    masks = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("-") and len(a) > 1 and not a[1].isdigit():
+            c = a[1]
+            if c in "vpzCN" and len(a) == 2:
+                flags.add(c)
+            elif c == "v" or c == "p" or c == "z" or c == "C" or c == "N":
+                for ch in a[1:]:
+                    flags.add(ch)
+            elif c == "k":
+                kw["kmer"] = int(a[2:])
+            elif c == "t":
+                kw["suppress"] = int(a[2:])
+            elif c == "M":
+                kw["mem_limit"] = int(a[2:]) << 30
+            elif c == "e":
+                kw["ave_error"] = float(a[2:])
+            elif c == "s":
+                kw["spacing"] = int(a[2:])
+            elif c == "n":
+                kw["best_tie"] = float(a[2:])
+            elif c == "m":
+                masks.append(a[2:])
+            elif c in ("T", "P"):
+                pass   # thread count / tmp dir: no-ops in this engine
+            else:
+                print(f"damapper: -{c} is an illegal option", file=sys.stderr)
+                return 1
+        else:
+            args.append(a)
+        i += 1
+
+    if len(args) < 2:
+        print("Usage: damapper [-vpzCN] [-k<int>] [-t<int>] [-M<int>] "
+              "[-e<double>] [-s<int>] [-n<double>] [-m<track>]+ "
+              "<reference:dam> <reads:db> ...", file=sys.stderr)
+        return 1
+
+    cover = "C" in flags
+    nomap = "N" in flags
+    if nomap and not cover:
+        print("damapper: Cannot specify N flag without C also",
+              file=sys.stderr)
+        return 1
+    if nomap and "p" in flags:
+        print("damapper: Cannot specify both N and p flags together",
+              file=sys.stderr)
+        return 1
+
+    cfg = DamapperConfig(masks=masks, verbose="v" in flags,
+                         profile="p" in flags, do_a=not nomap, do_b=cover,
+                         map_order="z" not in flags, **kw)
+    if not (.7 <= cfg.ave_error < 1.):
+        print("damapper: Average correlation must be in [.7,1.)",
+              file=sys.stderr)
+        return 1
+    if cfg.kmer > 32:
+        print("damapper: K-mer length must be 32 or less", file=sys.stderr)
+        return 1
+    if not (.7 <= cfg.best_tie <= 1.):
+        print("damapper: Near optimal threshold must be in [.7,1.]",
+              file=sys.stderr)
+        return 1
+
+    for reads in args[1:]:
+        run_damapper(args[0], reads, cfg)
+    return 0

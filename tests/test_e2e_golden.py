@@ -1,0 +1,100 @@
+"""End-to-end golden tests: our mapper's .las vs the reference damapper's.
+
+The reference binary is built from /root/reference and run (through our
+LAsort/LAcat shims) on databases we write; our pipeline must reproduce its
+final .las record-for-record (all coordinates, flags, diffs and trace points).
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from damapper_tpu.io import db as dbio
+from damapper_tpu.io import fasta
+from damapper_tpu.io import las as lasio
+from damapper_tpu.pipeline.mapper import DamapperConfig, run_damapper
+from tests import helpers
+
+
+def make_dataset(tmp_path, seed=7, glen=120_000, ncontigs=4, nreads=25,
+                 bsize=70_000, **simkw):
+    rng = np.random.default_rng(seed)
+    genome = helpers.sim_genome(rng, glen)
+    clen = glen // ncontigs
+    entries = [fasta.FastaEntry(f"ctg{i}", genome[i * clen:(i + 1) * clen])
+               for i in range(ncontigs)]
+    reads = []
+    for _ in range(nreads):
+        ci = int(rng.integers(0, ncontigs))
+        r, *_ = helpers.sim_read(rng, entries[ci].seq,
+                                 min_len=2000, max_len=8000, **simkw)
+        reads.append(r)
+    dbio.create_dam(str(tmp_path / "ref.dam"), entries, bsize=bsize)
+    dbio.create_db(str(tmp_path / "reads.db"),
+                   [fasta.FastaEntry(f"r{i}", r) for i, r in enumerate(reads)])
+    return tmp_path
+
+
+def diff_las(a: list, b: list) -> str:
+    msgs = []
+    if len(a) != len(b):
+        msgs.append(f"record count {len(a)} vs {len(b)}")
+    for i, (x, y) in enumerate(zip(a, b)):
+        if x.key() != y.key():
+            msgs.append(f"first divergence at record {i}:\n"
+                        f"  ref : a{x.aread} b{x.bread} f{x.flags:#x} "
+                        f"[{x.abpos},{x.aepos}]x[{x.bbpos},{x.bepos}] "
+                        f"d{x.diffs} t{list(x.trace)[:12]}\n"
+                        f"  ours: a{y.aread} b{y.bread} f{y.flags:#x} "
+                        f"[{y.abpos},{y.aepos}]x[{y.bbpos},{y.bepos}] "
+                        f"d{y.diffs} t{list(y.trace)[:12]}")
+            break
+    return "\n".join(msgs)
+
+
+def run_both(tmp_path, ref_opts, cfg) -> tuple[list, list]:
+    golden = helpers.run_reference_damapper(tmp_path, "ref.dam", "reads.db",
+                                            ref_opts)
+    grecs, gts = lasio.read_las(str(golden))
+    ours_a, _ = run_damapper(str(tmp_path / "ref.dam"),
+                             str(tmp_path / "reads.db"), cfg,
+                             out_dir=str(tmp_path / "ours"))
+    orecs, ots = lasio.read_las(ours_a)
+    assert gts == ots
+    return grecs, orecs
+
+
+@pytest.fixture()
+def dataset(tmp_path):
+    (tmp_path / "ours").mkdir()
+    return make_dataset(tmp_path)
+
+
+def test_e2e_default_options(dataset):
+    grecs, orecs = run_both(dataset, ["-k20", "-T4"], DamapperConfig())
+    assert len(grecs) > 0
+    d = diff_las(grecs, orecs)
+    assert not d, d
+
+
+def test_e2e_smallk_suppress(tmp_path):
+    (tmp_path / "ours").mkdir()
+    make_dataset(tmp_path, seed=11, glen=80_000, ncontigs=2, nreads=15,
+                 bsize=50_000)
+    grecs, orecs = run_both(tmp_path, ["-k14", "-t40", "-T2"],
+                            DamapperConfig(kmer=14, suppress=40))
+    assert len(grecs) > 0
+    d = diff_las(grecs, orecs)
+    assert not d, d
+
+
+def test_e2e_near_optimal_pile_order(tmp_path):
+    (tmp_path / "ours").mkdir()
+    make_dataset(tmp_path, seed=13, glen=60_000, ncontigs=2, nreads=12,
+                 bsize=40_000)
+    grecs, orecs = run_both(tmp_path, ["-k20", "-n.85", "-z"],
+                            DamapperConfig(best_tie=.85, map_order=False))
+    assert len(grecs) > 0
+    d = diff_las(grecs, orecs)
+    assert not d, d
