@@ -22,7 +22,10 @@ the reference's `4`-terminated read buffers (DB.c:1232-1297).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
+
+_DBG = bool(os.environ.get('WAVE_JAX_DEBUG'))
 
 import numpy as np
 
@@ -290,6 +293,15 @@ def forward_wave(A, B, spec: AlignSpec, mind, maxd, mida, minp, maxp,
                     low += 1
                 break
 
+        if _DBG:
+            import os as _os
+            if _os.environ.get("WAVE_DUMP") and str(dif) == _os.environ["WAVE_DUMP"]:
+                for kk in range(low, hgh + 1):
+                    print(f"ORA k={kk} V={V[kk]} M={M[kk]} T={T[kk]:x}")
+            print(f"ORAWAVE dif={dif} low={low} hgh={hgh} besta={besta} "
+                  f"besty={besty} lasta={lasta} trima={trima} trimd={trimd} "
+                  f"more={more} avail={len(w.cells)}")
+
     # trace extraction (align.c:900-1007)
     if morem >= 0 and REACH:
         trimx = morea - morey
@@ -299,49 +311,8 @@ def forward_wave(A, B, spec: AlignSpec, mind, maxd, mida, minp, maxp,
     else:
         trimx = trima - trimy
 
-    atrace: list[int] = []
-    btrace: list[int] = []
-
-    chain = w.chain(trimha)
-    h0 = chain[0]
-    k = w.cells[h0][1]
-    b = (mida - k) // 2
-    e = 0
-    for h in chain[1:]:
-        _, k, d, mark = w.cells[h]
-        a = mark - k
-        atrace.append(_u16(d - e))
-        atrace.append(_u16(a - b))
-        b, e = a, d
-    if b + k != trimx:
-        atrace.append(_u16(trimd - e))
-        atrace.append(_u16(trimy - b))
-    elif b != trimy:
-        atrace[-1] = _u16(atrace[-1] + (trimy - b))
-        atrace[-2] = _u16(atrace[-2] + (trimd - e))
-
-    chain = w.chain(trimhb)
-    h0 = chain[0]
-    k = w.cells[h0][1]
-    b = (mida + k) // 2
-    e = 0
-    low = k
-    for h in chain[1:]:
-        _, k, d, mark = w.cells[h]
-        a = mark + k
-        btrace.append(_u16(d - e))
-        btrace.append(_u16(a - b))
-        b, e = a, d
-    if b - k != trimy:
-        btrace.append(_u16(trimd - e))
-        btrace.append(_u16(trimx - b))
-    elif b != trimx:
-        btrace[-1] = _u16(btrace[-1] + (trimx - b))
-        btrace[-2] = _u16(btrace[-2] + (trimd - e))
-
-    fwd = PathRec(aepos=trimx, bepos=trimy, diffs=trimd)
-    fwd.trace = atrace
-    return low, fwd, btrace
+    return extract_forward_traces(w.cells, trimha, trimhb, trimx, trimy,
+                                  trimd, mida)
 
 
 def reverse_wave(A, B, spec: AlignSpec, mind, maxd, mida, minp, maxp,
@@ -568,79 +539,9 @@ def reverse_wave(A, B, spec: AlignSpec, mind, maxd, mida, minp, maxp,
     else:
         trimx = trima - trimy
 
-    a_pre: list[int] = []
-    b_pre: list[int] = []
-
-    chain = w.chain(trimha)
-    h0 = chain[0]
-    k = w.cells[h0][1]
-    b = w.cells[h0][3] - k
-    e = 0
-    hrest = chain[1:]
-    if (b + k) % TS != aoff:
-        if not hrest:
-            a, d = trimy, trimd
-        else:
-            _, k, d, mark = w.cells[hrest[0]]
-            a = mark - k
-        if len(atrace_f) == 0:
-            a_pre[:0] = [_u16(d - e), _u16(b - a)]
-        else:
-            atrace_f[1] = _u16(atrace_f[1] + (b - a))
-            atrace_f[0] = _u16(atrace_f[0] + (d - e))
-        b, e = a, d
-        hrest = hrest[1:] if hrest else hrest
-        h_valid = bool(chain[1:])  # h >= 0 in C after the advance
-    else:
-        h_valid = True
-    if h_valid:
-        for h in hrest:
-            _, k, d, mark = w.cells[h]
-            a = mark - k
-            a_pre[:0] = [_u16(d - e), _u16(b - a)]
-            b, e = a, d
-        if b + k != trimx:
-            a_pre[:0] = [_u16(trimd - e), _u16(b - trimy)]
-        elif b != trimy:
-            a_pre[1] = _u16(a_pre[1] + (b - trimy))
-            a_pre[0] = _u16(a_pre[0] + (trimd - e))
-
-    chain = w.chain(trimhb)
-    h0 = chain[0]
-    k = w.cells[h0][1]
-    b = w.cells[h0][3] + k
-    e = 0
-    hrest = chain[1:]
-    if (b - k) % TS != boff:
-        if not hrest:
-            a, d = trimx, trimd
-        else:
-            _, k, d, mark = w.cells[hrest[0]]
-            a = mark + k
-        if len(btrace_f) == 0:
-            # NB: the reference writes (b-a) into both slots here
-            # (align.c:1669-1672); parity preserved.
-            b_pre[:0] = [_u16(b - a), _u16(b - a)]
-        else:
-            btrace_f[1] = _u16(btrace_f[1] + (b - a))
-            btrace_f[0] = _u16(btrace_f[0] + (d - e))
-        b, e = a, d
-        h_valid = bool(chain[1:])
-        hrest = hrest[1:] if hrest else hrest
-    else:
-        h_valid = True
-    if h_valid:
-        for h in hrest:
-            _, k, d, mark = w.cells[h]
-            a = mark + k
-            b_pre[:0] = [_u16(d - e), _u16(b - a)]
-            b, e = a, d
-        if b - k != trimy:
-            b_pre[:0] = [_u16(trimd - e), _u16(b - trimx)]
-        elif b != trimx:
-            b_pre[1] = _u16(b_pre[1] + (b - trimx))
-            b_pre[0] = _u16(b_pre[0] + (trimd - e))
-
+    a_pre, b_pre = extract_reverse_traces(w.cells, trimha, trimhb, trimx,
+                                          trimy, trimd, TS, aoff, boff,
+                                          atrace_f, btrace_f)
     apath.abpos = trimx
     apath.bbpos = trimy
     apath.diffs = apath.diffs + trimd
@@ -743,6 +644,15 @@ def local_alignment(aseq: np.ndarray, bseq: np.ndarray, spec: AlignSpec,
 
     apath.trace = a_pre + atrace_f
     bpath.trace = b_pre + btrace_f
+    finalize_paths(apath, bpath, flags, alen, blen)
+
+    return apath, bpath
+
+
+def finalize_paths(apath: PathRec, bpath: PathRec, flags: int,
+                   alen: int, blen: int) -> None:
+    """Fill bpath coordinates and apply COMP/ACOMP coordinate flips and
+    trace-pair reversal (align.c:1857-1912)."""
     bpath.diffs = apath.diffs
 
     if flags & ACOMP_FLAG:
@@ -768,8 +678,6 @@ def local_alignment(aseq: np.ndarray, bseq: np.ndarray, spec: AlignSpec,
         bpath.abpos = apath.bbpos
         bpath.bbpos = apath.abpos
 
-    return apath, bpath
-
 
 def _reverse_pairs(tr: list) -> None:
     """Reverse a flat (d,b)-pair list pairwise in place (align.c:1872-1883)."""
@@ -780,3 +688,143 @@ def _reverse_pairs(tr: list) -> None:
         tr[i + 1], tr[j + 1] = tr[j + 1], tr[i + 1]
         i -= 2
         j += 2
+
+
+def _chain_of(cells, h) -> list:
+    out = []
+    while h >= 0:
+        out.append(h)
+        h = cells[h][0]
+    out.reverse()
+    return out
+
+
+def extract_forward_traces(cells, trimha, trimhb, trimx, trimy, trimd, mida):
+    """Walk the pebble chains of a finished forward pass into (d,b) trace
+    pair lists (align.c:900-1007).  cells[h] -> (ptr, diag, diff, mark).
+    Returns (low, fwd PathRec, btrace)."""
+    atrace: list[int] = []
+    btrace: list[int] = []
+
+    chain = _chain_of(cells, trimha)
+    h0 = chain[0]
+    k = cells[h0][1]
+    b = (mida - k) // 2
+    e = 0
+    for h in chain[1:]:
+        _, k, d, mark = cells[h]
+        a = mark - k
+        atrace.append(_u16(d - e))
+        atrace.append(_u16(a - b))
+        b, e = a, d
+    if b + k != trimx:
+        atrace.append(_u16(trimd - e))
+        atrace.append(_u16(trimy - b))
+    elif b != trimy:
+        atrace[-1] = _u16(atrace[-1] + (trimy - b))
+        atrace[-2] = _u16(atrace[-2] + (trimd - e))
+
+    chain = _chain_of(cells, trimhb)
+    h0 = chain[0]
+    k = cells[h0][1]
+    b = (mida + k) // 2
+    e = 0
+    low = k
+    for h in chain[1:]:
+        _, k, d, mark = cells[h]
+        a = mark + k
+        btrace.append(_u16(d - e))
+        btrace.append(_u16(a - b))
+        b, e = a, d
+    if b - k != trimy:
+        btrace.append(_u16(trimd - e))
+        btrace.append(_u16(trimx - b))
+    elif b != trimx:
+        btrace[-1] = _u16(btrace[-1] + (trimx - b))
+        btrace[-2] = _u16(btrace[-2] + (trimd - e))
+
+    fwd = PathRec(aepos=trimx, bepos=trimy, diffs=trimd)
+    fwd.trace = atrace
+    return low, fwd, btrace
+
+
+def extract_reverse_traces(cells, trimha, trimhb, trimx, trimy, trimd,
+                           TS, aoff, boff, atrace_f, btrace_f):
+    """Walk the pebble chains of a finished reverse pass (align.c:1554-1708).
+    Prepends before the forward lists; may mutate atrace_f[0:2]/btrace_f[0:2]
+    at the junction.  Returns (a_pre, b_pre)."""
+    a_pre: list[int] = []
+    b_pre: list[int] = []
+
+    chain = _chain_of(cells, trimha)
+    h0 = chain[0]
+    k = cells[h0][1]
+    b = cells[h0][3] - k
+    e = 0
+    hrest = chain[1:]
+    if (b + k) % TS != aoff:
+        if not hrest:
+            a, d = trimy, trimd
+        else:
+            _, k, d, mark = cells[hrest[0]]
+            a = mark - k
+        if len(atrace_f) == 0:
+            a_pre[:0] = [_u16(d - e), _u16(b - a)]
+        else:
+            atrace_f[1] = _u16(atrace_f[1] + (b - a))
+            atrace_f[0] = _u16(atrace_f[0] + (d - e))
+        b, e = a, d
+        hrest = hrest[1:] if hrest else hrest
+        h_valid = bool(chain[1:])  # h >= 0 in C after the advance
+    else:
+        h_valid = True
+    if h_valid:
+        for h in hrest:
+            _, k, d, mark = cells[h]
+            a = mark - k
+            a_pre[:0] = [_u16(d - e), _u16(b - a)]
+            b, e = a, d
+        if b + k != trimx:
+            a_pre[:0] = [_u16(trimd - e), _u16(b - trimy)]
+        elif b != trimy:
+            a_pre[1] = _u16(a_pre[1] + (b - trimy))
+            a_pre[0] = _u16(a_pre[0] + (trimd - e))
+
+    chain = _chain_of(cells, trimhb)
+    h0 = chain[0]
+    k = cells[h0][1]
+    b = cells[h0][3] + k
+    e = 0
+    hrest = chain[1:]
+    if (b - k) % TS != boff:
+        if not hrest:
+            a, d = trimx, trimd
+        else:
+            _, k, d, mark = cells[hrest[0]]
+            a = mark + k
+        if len(btrace_f) == 0:
+            # NB: the reference writes (b-a) into both slots here
+            # (align.c:1669-1672); parity preserved.
+            b_pre[:0] = [_u16(b - a), _u16(b - a)]
+        else:
+            btrace_f[1] = _u16(btrace_f[1] + (b - a))
+            btrace_f[0] = _u16(btrace_f[0] + (d - e))
+        b, e = a, d
+        h_valid = bool(chain[1:])
+        hrest = hrest[1:] if hrest else hrest
+    else:
+        h_valid = True
+    if h_valid:
+        for h in hrest:
+            _, k, d, mark = cells[h]
+            a = mark + k
+            b_pre[:0] = [_u16(d - e), _u16(b - a)]
+            b, e = a, d
+        if b - k != trimy:
+            b_pre[:0] = [_u16(trimd - e), _u16(b - trimx)]
+        elif b != trimx:
+            b_pre[1] = _u16(b_pre[1] + (b - trimx))
+            b_pre[0] = _u16(b_pre[0] + (trimd - e))
+
+    return a_pre, b_pre
+

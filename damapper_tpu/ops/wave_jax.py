@@ -1,0 +1,708 @@
+"""Batched O(nd) trace-point wave aligner on device (JAX/XLA, TPU-first).
+
+The production compute path for Local_Alignment (reference align.c:353-1946):
+many candidate seeds are aligned simultaneously, one vmap lane per seed.  Per
+lane the dynamically banded furthest-reaching wave runs as a
+`lax.while_loop`; within a wave all diagonals advance vectorized over a
+fixed-capacity ring band (the C implementation's memmove re-centering,
+align.c:602-676, becomes slot = diag mod W).  Per-diagonal state is V
+(furthest antidiagonal), the 61-bit match bitvector T (two uint32 words), the
+match count M, next trace-mark positions NA/NB, and pebble-chain heads HA/HB
+into a per-lane pebble pool.  Pebbles are appended with a cross-lane prefix
+sum so the pointer graph is identical to the sequential reference.
+
+The wave's in-wave sequential best/trim updates (align.c:819-833 run high
+diagonal to low) are reproduced exactly with a reverse running-max: a
+diagonal "triggers" iff its c exceeds all previously processed diagonals' c
+and the old best; the surviving trim point is the lowest triggering diagonal
+passing the suffix-positivity tables.
+
+Trace extraction (pointer chasing) and the fshort/rshort double-pass
+(align.c:1828-1854) run on host via the shared helpers in
+damapper_tpu.ops.wave; lanes that overflow the band or pebble pool fall back
+to the host oracle (rare; counted in stats).
+
+damapper only ever calls Local_Alignment with a single seed diagonal and no
+borders (map.c:2513), so the kernels specialize low==hgh, minp=-inf,
+maxp=+inf, and no selfie handling.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .spec import AlignSpec, PATH_LEN, TRIM_MLAG, WAVE_LAG
+from . import wave as _host
+
+_DBG = bool(os.environ.get('WAVE_JAX_DEBUG'))
+_DEBUG_STOP = (int(os.environ['WAVE_JAX_STOP'])
+               if os.environ.get('WAVE_JAX_STOP') else None)
+
+INT32_MAX = np.int32(0x7FFFFFFF)
+NEG_BIG = -np.int32(0x40000000)
+
+PATH_TOP_HI_BIT = 28          # bit 60 of T lives in bit 28 of T_hi
+THI_MASK = np.uint32((1 << 29) - 1)
+
+
+@dataclass
+class WaveResult:
+    """Raw per-lane kernel outputs (host numpy)."""
+    trima: np.ndarray
+    trimy: np.ndarray
+    trimd: np.ndarray
+    trimha: np.ndarray
+    trimhb: np.ndarray
+    morem: np.ndarray
+    morea: np.ndarray
+    morey: np.ndarray
+    mored: np.ndarray
+    moreha: np.ndarray
+    morehb: np.ndarray
+    pool: np.ndarray        # (N, P, 4) int32: ptr, diag, diff, mark
+    avail: np.ndarray
+    overflow: np.ndarray
+
+
+def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool):
+    """Build the single-lane wave function (closed over static config)."""
+    Wm = W - 1
+    sgn = -1 if reverse else 1
+
+    def kernel(abase, bbase, mida, k0, aoffp, boffp, Aflat, Bflat,
+               table, score):
+        # sequence accessors; the reference's reverse pass decrements its
+        # sequence pointers by one (align.c:1017-1018)
+        soff = -1 if reverse else 0
+
+        def bchar(y):
+            return Bflat[bbase + y + soff]
+
+        def achar(x):
+            return Aflat[abase + x + soff]
+
+        i32 = jnp.int32
+        slots = jnp.arange(W, dtype=i32)
+
+        # ---------------- wave 0: single diagonal k0 ----------------
+        y0 = jnp.right_shift(mida - k0, 1)
+        if not reverse:
+            na0 = ((y0 + k0 + (TS - aoffp)) // TS - 1) * TS + aoffp
+            nb0 = ((y0 + (TS - boffp)) // TS - 1) * TS + boffp
+            amark0, bmark0 = na0, nb0
+            na0 = na0 + TS
+            nb0 = nb0 + TS
+        else:
+            na0 = ((y0 + k0 + (TS - aoffp) - 1) // TS - 1) * TS + aoffp
+            nb0 = ((y0 + (TS - boffp) - 1) // TS - 1) * TS + boffp
+            amark0, bmark0 = y0 + k0, y0
+
+        pool = jnp.zeros((P, 4), i32)
+        pool = pool.at[0].set(jnp.stack([i32(-1), k0, i32(0), amark0]))
+        pool = pool.at[1].set(jnp.stack([i32(-1), k0, i32(0), bmark0]))
+        avail = i32(2)
+        ha0, hb0 = i32(0), i32(1)
+
+        # wave-0 snake (scalar)
+        def s0_cond(st):
+            y, stop, ca, cb = st
+            return ~stop
+
+        def s0_body(st):
+            y, stop, ca, cb = st
+            bc = bchar(y)
+            ac = achar(y + k0)
+            sb = bc == 4
+            mis = bc != ac
+            sa = (~sb) & mis & (ac == 4)
+            adv = (~sb) & (~mis)
+            return (jnp.where(adv, y + sgn, y), ~adv, ca | sa, cb | sb)
+
+        y0f, _, clipA0, clipB0 = jax.lax.while_loop(
+            s0_cond, s0_body, (y0, jnp.bool_(False), jnp.bool_(False),
+                               jnp.bool_(False)))
+        c0 = (y0f << 1) + k0
+        more = ~(clipA0 | clipB0)
+        aclip = jnp.where(clipA0, k0, (-INT32_MAX if reverse else INT32_MAX))
+        bclip = jnp.where(clipB0, k0, (INT32_MAX if reverse else -INT32_MAX))
+
+        # wave-0 pebble drops (scalar loop)
+        def d0_cond(st):
+            x, n, h, av, pl = st
+            return (x <= n) if reverse else (x >= n)
+
+        def mk_d0_body(diff_v):
+            def d0_body(st):
+                x, n, h, av, pl = st
+                pl = pl.at[av].set(jnp.stack([h, k0, diff_v, n]),
+                                   mode="drop")
+                return (x, n - TS if reverse else n + TS,
+                        jnp.where(av < P, av, h), av + 1, pl)
+            return d0_body
+
+        xA = y0f + k0
+        xA, na0, ha0, avail, pool = jax.lax.while_loop(
+            d0_cond, mk_d0_body(i32(0)), (xA, na0, ha0, avail, pool))
+        xB = y0f
+        xB, nb0, hb0, avail, pool = jax.lax.while_loop(
+            d0_cond, mk_d0_body(i32(0)), (xB, nb0, hb0, avail, pool))
+
+        better0 = (c0 < mida) if reverse else (c0 > mida)
+        besta = jnp.where(better0, c0, mida)
+        besty = jnp.where(better0, y0f, y0)
+        lasta = besta
+        trima = besta
+        trimy = besty
+        trimd = i32(0)
+        trimha = jnp.where(better0, ha0, i32(0))
+        trimhb = jnp.where(better0, hb0, i32(1))
+
+        fill = NEG_BIG if not reverse else INT32_MAX
+        V = jnp.full(W, fill, i32).at[k0 & Wm].set(c0)
+        # PATH_INT = bits 0..59 set, bit 60 clear -> Thi = bits 32..59
+        Thi = jnp.full(W, np.uint32((1 << 28) - 1), jnp.uint32)
+        Tlo = jnp.full(W, np.uint32(0xFFFFFFFF), jnp.uint32)
+        M = jnp.full(W, PATH_LEN, i32)
+        NA = jnp.zeros(W, i32).at[k0 & Wm].set(na0)
+        NB = jnp.zeros(W, i32).at[k0 & Wm].set(nb0)
+        HA = jnp.zeros(W, i32).at[k0 & Wm].set(ha0)
+        HB = jnp.zeros(W, i32).at[k0 & Wm].set(hb0)
+
+        low = k0
+        hgh = k0
+        morem = i32(-1)
+        morea = i32(0)
+        morey = i32(0)
+        mored = i32(0)
+        moreha = i32(0)
+        morehb = i32(0)
+
+        # wave-0 clip handling (align.c:558-583 / 1216-1241)
+        def clip_block(more_in, low, hgh, aclip, bclip, besta, besty,
+                       V, M, HA, HB, morem, morea, morey, mored,
+                       moreha, morehb, dif, set_mored):
+            clipped = ~more_in
+            rest = (bchar(besty) != 4) & (achar(besta - besty) != 4)
+            if not reverse:
+                hit_a = clipped & (hgh >= aclip)
+                hit_b = clipped & (low <= bclip)
+            else:
+                hit_a = clipped & (low <= aclip)
+                hit_b = clipped & (hgh >= bclip)
+
+            def grab(kc, morem, morea, morey, mored, moreha, morehb, hit):
+                s = kc & Wm
+                upd = hit & (morem <= M[s])
+                morem = jnp.where(upd, M[s], morem)
+                morea = jnp.where(upd, V[s], morea)
+                morey = jnp.where(upd, (V[s] - kc) // 2, morey)
+                if set_mored:
+                    mored = jnp.where(upd, dif, mored)
+                moreha = jnp.where(upd, HA[s], moreha)
+                morehb = jnp.where(upd, HB[s], morehb)
+                return morem, morea, morey, mored, moreha, morehb
+
+            morem, morea, morey, mored, moreha, morehb = grab(
+                aclip, morem, morea, morey, mored, moreha, morehb, hit_a)
+            morem, morea, morey, mored, moreha, morehb = grab(
+                bclip, morem, morea, morey, mored, moreha, morehb, hit_b)
+            if not reverse:
+                hgh = jnp.where(hit_a, aclip - 1, hgh)
+                low = jnp.where(hit_b, bclip + 1, low)
+            else:
+                low = jnp.where(hit_a, aclip + 1, low)
+                hgh = jnp.where(hit_b, bclip - 1, hgh)
+            more_out = jnp.where(clipped, rest, more_in)
+            return (more_out, low, hgh, morem, morea, morey, mored,
+                    moreha, morehb)
+
+        (more, low, hgh, morem, morea, morey, mored, moreha, morehb) = \
+            clip_block(more, low, hgh, aclip, bclip, besta, besty, V, M,
+                       HA, HB, morem, morea, morey, mored, moreha, morehb,
+                       i32(0), set_mored=False)
+
+        overflow = jnp.bool_(False)
+
+        # ---------------- main wave loop ----------------
+        state = (V, Thi, Tlo, M, NA, NB, HA, HB, pool, avail, low, hgh,
+                 i32(0), more, besta, besty, lasta, trima, trimy, trimd,
+                 trimha, trimhb, morem, morea, morey, mored, moreha, morehb,
+                 overflow)
+
+        def cond(st):
+            (V, Thi, Tlo, M, NA, NB, HA, HB, pool, avail, low, hgh, dif,
+             more, besta, besty, lasta, trima, trimy, trimd, trimha, trimhb,
+             morem, morea, morey, mored, moreha, morehb, overflow) = st
+            if reverse:
+                go = lasta <= besta + TRIM_MLAG
+            else:
+                go = lasta >= besta - TRIM_MLAG
+            if _DEBUG_STOP is not None:
+                go = go & (dif < _DEBUG_STOP)
+            return more & go & ~overflow
+
+        def body(st):
+            (V, Thi, Tlo, M, NA, NB, HA, HB, pool, avail, low, hgh, dif,
+             more, besta, besty, lasta, trima, trimy, trimd, trimha, trimhb,
+             morem, morea, morey, mored, moreha, morehb, overflow) = st
+
+            low = low - 1
+            hgh = hgh + 1
+            overflow = overflow | (hgh - low + 4 >= W) | (avail + W >= P)
+            if _DBG:
+                jax.debug.print("wave dif={d} low={l} hgh={h}", d=dif, l=low,
+                                h=hgh)
+
+            sl = low & Wm
+            sh = hgh & Wm
+            V = V.at[sl].set(fill).at[sh].set(fill)
+            NA = NA.at[sl].set(NA[(low + 1) & Wm])
+            NB = NB.at[sl].set(NB[(low + 1) & Wm])
+            NA = NA.at[sh].set(NA[(hgh - 1) & Wm])
+            NB = NB.at[sh].set(NB[(hgh - 1) & Wm])
+            dif = dif + 1
+
+            k = low + jnp.remainder(slots - low, W)
+            in_band = k <= hgh
+
+            Vm = jnp.where(in_band, V, fill)
+            ap = jnp.roll(Vm, -1)   # V[k+1]
+            am = jnp.roll(Vm, 1)    # V[k-1]
+            ac = Vm
+
+            if not reverse:
+                pickP = jnp.where(ac < am, am < ap, ac < ap)
+                pickM = (ac < am) & ~pickP
+                c = jnp.where(pickP, ap + 1,
+                              jnp.where(pickM, am + 1, ac + 2))
+            else:
+                pickM = jnp.where(ac > ap, ap > am, ac > am)
+                pickP = (ac > ap) & ~pickM
+                c = jnp.where(pickM, am - 1,
+                              jnp.where(pickP, ap - 1, ac - 2))
+
+            def pick3(arr):
+                return jnp.where(pickP, jnp.roll(arr, -1),
+                                 jnp.where(pickM, jnp.roll(arr, 1), arr))
+
+            m = pick3(M)
+            thi = pick3(Thi)
+            tlo = pick3(Tlo)
+            ha = pick3(HA)
+            hb = pick3(HB)
+
+            top = (thi >> PATH_TOP_HI_BIT) & 1
+            m = m - top.astype(i32)
+            thi = ((thi << 1) | (tlo >> 31)) & THI_MASK
+            tlo = tlo << 1
+
+            y = jnp.right_shift(c - k, 1)
+
+            # snake (vectorized over diagonals)
+            def sn_cond(sst):
+                y, thi, tlo, m, act, ca, cb = sst
+                return act.any()
+
+            def sn_body(sst):
+                y, thi, tlo, m, act, ca, cb = sst
+                bc = Bflat[jnp.clip(bbase + y + soff, 0, Bflat.shape[0] - 1)]
+                acx = Aflat[jnp.clip(abase + y + k + soff, 0,
+                                     Aflat.shape[0] - 1)]
+                sb = act & (bc == 4)
+                mis = bc != acx
+                sa = act & ~ (bc == 4) & mis & (acx == 4)
+                adv = act & (bc != 4) & ~mis
+                top = (thi >> PATH_TOP_HI_BIT) & 1
+                m = jnp.where(adv, m + 1 - top.astype(i32), m)
+                nthi = ((thi << 1) | (tlo >> 31)) & THI_MASK
+                ntlo = (tlo << 1) | 1
+                thi = jnp.where(adv, nthi, thi)
+                tlo = jnp.where(adv, ntlo, tlo)
+                y = jnp.where(adv, y + sgn, y)
+                return (y, thi, tlo, m, adv, ca | sa, cb | sb)
+
+            false_w = jnp.zeros(W, bool)
+            if _DBG:
+                def sn_body_dbg(sst):
+                    out = sn_body(sst)
+                    jax.debug.print("  snake act={a}", a=out[4].sum())
+                    return out
+            else:
+                sn_body_dbg = sn_body
+            y, thi, tlo, m, _, clipA, clipB = jax.lax.while_loop(
+                sn_cond, sn_body_dbg, (y, thi, tlo, m, in_band, false_w,
+                                       false_w))
+            c = (y << 1) + k
+
+            clip_any = (clipA | clipB).any()
+            more = more & ~clip_any
+            if not reverse:
+                aclip = jnp.min(jnp.where(clipA, k, INT32_MAX))
+                bclip = jnp.max(jnp.where(clipB, k, -INT32_MAX))
+            else:
+                aclip = jnp.max(jnp.where(clipA, k, -INT32_MAX))
+                bclip = jnp.min(jnp.where(clipB, k, INT32_MAX))
+
+            # pebble drops (vectorized, prefix-sum slot allocation)
+            def mk_drop(get_x, N_arr, H_arr):
+                def dcond(dst):
+                    N, H, av, pl, ov = dst
+                    if reverse:
+                        return (in_band & (get_x() <= N)).any()
+                    return (in_band & (get_x() >= N)).any()
+
+                def dbody(dst):
+                    N, H, av, pl, ov = dst
+                    if reverse:
+                        act = in_band & (get_x() <= N)
+                        need = act & (pl[jnp.clip(H, 0, P - 1), 3] > N)
+                    else:
+                        act = in_band & (get_x() >= N)
+                        need = act & (pl[jnp.clip(H, 0, P - 1), 3] < N)
+                    cs = jnp.cumsum(need.astype(i32))
+                    idx = av + cs - 1
+                    widx = jnp.where(need, idx, P)
+                    rows = jnp.stack([H, k, jnp.full(W, dif), N], axis=1)
+                    pl = pl.at[widx].set(rows, mode="drop")
+                    H = jnp.where(need, idx, H)
+                    nav = av + cs[-1]
+                    ov = ov | (nav >= P)
+                    N = jnp.where(act, N - TS if reverse else N + TS, N)
+                    return (N, H, jnp.minimum(nav, P), pl, ov)
+                return dcond, dbody
+
+            def dbg_wrap(db, tag):
+                if not _DBG:
+                    return db
+                def w(dst):
+                    out = db(dst)
+                    jax.debug.print("  drop {t} avail={a}", t=tag, a=out[2])
+                    return out
+                return w
+            dc, db = mk_drop(lambda: y + k, NA, HA)
+            NA2, ha, avail, pool, overflow = jax.lax.while_loop(
+                dc, dbg_wrap(db, 0), (NA, ha, avail, pool, overflow))
+            dc, db = mk_drop(lambda: y, NB, HB)
+            NB2, hb, avail, pool, overflow = jax.lax.while_loop(
+                dc, dbg_wrap(db, 1), (NB, hb, avail, pool, overflow))
+            NA, NB = NA2, NB2
+
+            # best/trim updates with the reference's sequential-order
+            # semantics (hgh->low for forward, low->hgh for reverse)
+            pos = jnp.remainder(slots, W)
+            roll_amt = -jnp.remainder(low, W)
+
+            def band(arr, fillv):
+                return jnp.roll(jnp.where(in_band, arr, fillv), roll_amt)
+
+            inb_pos = slots <= (hgh - low)
+            if not reverse:
+                cb_ = jnp.where(inb_pos, band(c, NEG_BIG), NEG_BIG)
+                suf_incl = jax.lax.cummax(cb_, axis=0, reverse=True)
+                suf_excl = jnp.concatenate([suf_incl[1:],
+                                            jnp.array([NEG_BIG], i32)])
+                runbase = jnp.maximum(besta, suf_excl)
+                trigger = inb_pos & (cb_ > runbase)
+                new_besta = jnp.maximum(besta, jnp.max(cb_))
+            else:
+                cb_ = jnp.where(inb_pos, band(c, INT32_MAX), INT32_MAX)
+                pre_incl = jax.lax.cummin(cb_, axis=0)
+                pre_excl = jnp.concatenate([jnp.array([INT32_MAX], i32),
+                                            pre_incl[:-1]])
+                runbase = jnp.minimum(besta, pre_excl)
+                trigger = inb_pos & (cb_ < runbase)
+                new_besta = jnp.minimum(besta, jnp.min(cb_))
+
+            y_b = band(y, 0)
+            m_b = band(m, 0)
+            tlo_b = band(tlo, jnp.uint32(0))
+            ha_b = band(ha, 0)
+            hb_b = band(hb, 0)
+            dpos = jnp.arange(W, dtype=i32)
+
+            i1 = (tlo_b & 0x7FFF).astype(jnp.int32)
+            i2 = ((tlo_b >> 15) & 0x7FFF).astype(jnp.int32)
+            tbl_ok = (table[i1] >= 0) & (table[i2] + score[i1] >= 0)
+            m_ok = m_b >= PATH_AVE
+
+            if not reverse:
+                sel_pos = lambda msk: jnp.min(jnp.where(msk, dpos, W))
+                chosen = lambda msk: sel_pos(msk)
+            else:
+                sel_pos = lambda msk: jnp.max(jnp.where(msk, dpos, -1))
+                chosen = lambda msk: sel_pos(msk)
+
+            p0 = chosen(trigger)
+            any0 = trigger.any()
+            p0c = jnp.clip(p0, 0, W - 1)
+            besty = jnp.where(any0, y_b[p0c], besty)
+            besta = new_besta
+
+            trig_m = trigger & m_ok
+            p1 = chosen(trig_m)
+            any1 = trig_m.any()
+            p1c = jnp.clip(p1, 0, W - 1)
+            lasta = jnp.where(any1, cb_[p1c], lasta)
+
+            trig_t = trig_m & tbl_ok
+            p2 = chosen(trig_t)
+            any2 = trig_t.any()
+            p2c = jnp.clip(p2, 0, W - 1)
+            trima = jnp.where(any2, cb_[p2c], trima)
+            trimy = jnp.where(any2, y_b[p2c], trimy)
+            trimd = jnp.where(any2, dif, trimd)
+            trimha = jnp.where(any2, ha_b[p2c], trimha)
+            trimhb = jnp.where(any2, hb_b[p2c], trimhb)
+
+            # store band state
+            V = jnp.where(in_band, c, V)
+            Thi = jnp.where(in_band, thi, Thi)
+            Tlo = jnp.where(in_band, tlo, Tlo)
+            M = jnp.where(in_band, m, M)
+            HA = jnp.where(in_band, ha, HA)
+            HB = jnp.where(in_band, hb, HB)
+
+            # clip block
+            (more, low, hgh, morem, morea, morey, mored, moreha, morehb) = \
+                clip_block(more, low, hgh, aclip, bclip, besta, besty, V, M,
+                           HA, HB, morem, morea, morey, mored, moreha,
+                           morehb, dif, set_mored=True)
+
+            # band prune (align.c:877-885)
+            k2 = low + jnp.remainder(slots - low, W)
+            inb2 = k2 <= hgh
+            if not reverse:
+                ok = inb2 & (V >= besta - WAVE_LAG)
+            else:
+                ok = inb2 & (V <= besta + WAVE_LAG)
+            okpos = jnp.where(jnp.roll(ok, roll_amt) &
+                              (slots <= hgh - low), slots, -1)
+            hi_rel = jnp.max(okpos)
+            lo_rel = jnp.min(jnp.where(okpos >= 0, okpos, W))
+            have = hi_rel >= 0
+            hgh = jnp.where(have, low + hi_rel, hgh)
+            low = jnp.where(have, low + jnp.minimum(lo_rel, hi_rel), low)
+
+            return (V, Thi, Tlo, M, NA, NB, HA, HB, pool, avail, low, hgh,
+                    dif, more, besta, besty, lasta, trima, trimy, trimd,
+                    trimha, trimhb, morem, morea, morey, mored, moreha,
+                    morehb, overflow)
+
+        st = jax.lax.while_loop(cond, body, state)
+        (V, Thi, Tlo, M, NA, NB, HA, HB, pool, avail, low, hgh, dif, more,
+         besta, besty, lasta, trima, trimy, trimd, trimha, trimhb, morem,
+         morea, morey, mored, moreha, morehb, overflow) = st
+
+        out = dict(trima=trima, trimy=trimy, trimd=trimd, trimha=trimha,
+                   trimhb=trimhb, morem=morem, morea=morea, morey=morey,
+                   mored=mored, moreha=moreha, morehb=morehb, pool=pool,
+                   avail=avail, overflow=overflow)
+        if _DEBUG_STOP is not None:
+            out.update(V=V, M=M, Thi=Thi, Tlo=Tlo, low=low, hgh=hgh,
+                       besta=besta, lasta=lasta)
+        return out
+
+    return kernel
+
+
+class WaveEngine:
+    """Batched device Local_Alignment with host oracle fallback."""
+
+    def __init__(self, spec: AlignSpec, band_cap: int = 256,
+                 pool_cap: int = 8192):
+        self.spec = spec
+        self.W = band_cap
+        self.P = pool_cap
+        self.table = jnp.asarray(spec.table, jnp.int16).astype(jnp.int32)
+        self.score = jnp.asarray(spec.score, jnp.int16).astype(jnp.int32)
+        fwd = _mk_kernel(band_cap, pool_cap, spec.trace_space, spec.ave_path,
+                         reverse=False)
+        rev = _mk_kernel(band_cap, pool_cap, spec.trace_space, spec.ave_path,
+                         reverse=True)
+        vm = functools.partial(jax.vmap,
+                               in_axes=(0, 0, 0, 0, 0, 0, None, None,
+                                        None, None))
+        self._fwd = jax.jit(vm(fwd))
+        self._rev = jax.jit(vm(rev))
+        self.n_fallback = 0
+        self.n_total = 0
+
+    def _run(self, which, abase, bbase, mida, k0, aoffp, boffp,
+             Aflat, Bflat) -> WaveResult:
+        fn = self._fwd if which == "fwd" else self._rev
+        out = fn(jnp.asarray(abase, jnp.int32), jnp.asarray(bbase, jnp.int32),
+                 jnp.asarray(mida, jnp.int32), jnp.asarray(k0, jnp.int32),
+                 jnp.asarray(aoffp, jnp.int32), jnp.asarray(boffp, jnp.int32),
+                 Aflat, Bflat, self.table, self.score)
+        return WaveResult(**{f: np.asarray(v) for f, v in out.items()})
+
+    # ---- full Local_Alignment over a batch of seeds ----
+
+    def local_alignment_batch(self, Aflat, Bflat, Anp, Bnp, seeds):
+        """seeds: list of dicts with abase, alen, bbase, blen, diag, anti,
+        flags.  Aflat/Bflat are device uint8 arrays of the loaded sequence
+        memory (with `4` sentinels); Anp/Bnp the same as host numpy (for
+        fallback + trace walking).  Returns list of (apath, bpath)."""
+        n = len(seeds)
+        self.n_total += n
+        TS = self.spec.trace_space
+        out = [None] * n
+
+        abase = np.array([s["abase"] for s in seeds], np.int32)
+        bbase = np.array([s["bbase"] for s in seeds], np.int32)
+        alen = np.array([s["alen"] for s in seeds], np.int32)
+        blen = np.array([s["blen"] for s in seeds], np.int32)
+        diag = np.array([s["diag"] for s in seeds], np.int32)
+        anti = np.array([s["anti"] for s in seeds], np.int32)
+        flags = np.array([s["flags"] for s in seeds], np.int32)
+
+        aoffp = np.where(flags & _host.ACOMP_FLAG, alen % TS, 0).astype(np.int32)
+        boffp = np.where(flags & _host.COMP_FLAG, blen % TS, 0).astype(np.int32)
+
+        f = self._run("fwd", abase, bbase, anti, diag, aoffp, boffp,
+                      Aflat, Bflat)
+
+        apaths = [None] * n
+        fwd_a = [None] * n
+        fwd_b = [None] * n
+        low2 = np.zeros(n, np.int32)
+        fallback = set(np.flatnonzero(f.overflow).tolist())
+        for i in range(n):
+            if i in fallback:
+                continue
+            trimx, trimy, trimd, trimha, trimhb = _reach_select(
+                f, i, self.spec.reach)
+            cells = f.pool[i]
+            lowi, fwd, btr = _host.extract_forward_traces(
+                cells, trimha, trimhb, trimx, trimy, trimd, int(anti[i]))
+            ap = _host.PathRec(aepos=fwd.aepos, bepos=fwd.bepos,
+                               diffs=fwd.diffs)
+            apaths[i] = ap
+            fwd_a[i] = fwd.trace
+            fwd_b[i] = btr
+            low2[i] = lowi
+
+        r = self._run("rev", abase, bbase, anti, low2, aoffp, boffp,
+                      Aflat, Bflat)
+        for i in range(n):
+            if i in fallback:
+                continue
+            if r.overflow[i]:
+                fallback.add(i)
+                continue
+            trimx, trimy, trimd, trimha, trimhb = _reach_select(
+                r, i, self.spec.reach)
+            ap = apaths[i]
+            a_pre, b_pre = _host.extract_reverse_traces(
+                r.pool[i], trimha, trimhb, trimx, trimy, trimd, TS,
+                int(aoffp[i]), int(boffp[i]), fwd_a[i], fwd_b[i])
+            ap.abpos, ap.bbpos = trimx, trimy
+            ap.diffs = ap.diffs + trimd
+            fwd_a[i] = a_pre + fwd_a[i]
+            fwd_b[i] = b_pre + fwd_b[i]
+
+        # fshort/rshort double-pass refinement (align.c:1810-1854)
+        redo_f, redo_r = [], []
+        for i in range(n):
+            if i in fallback:
+                continue
+            ap = apaths[i]
+            fshort = (ap.aepos + ap.bepos) - int(anti[i]) < _host.DUB_TRIM
+            rshort = int(anti[i]) - (ap.abpos + ap.bbpos) < _host.DUB_TRIM
+            if fshort and rshort:
+                ap.aepos = ap.abpos = (ap.abpos + ap.aepos) // 2
+                ap.bepos = ap.bbpos = (ap.bbpos + ap.bepos) // 2
+                fwd_a[i] = []
+                fwd_b[i] = []
+            elif fshort:
+                redo_f.append(i)
+            elif rshort:
+                redo_r.append(i)
+
+        if redo_f:
+            idx = np.array(redo_f, np.int32)
+            d2 = np.array([apaths[i].abpos - apaths[i].bbpos for i in redo_f],
+                          np.int32)
+            a2 = np.array([apaths[i].abpos + apaths[i].bbpos for i in redo_f],
+                          np.int32)
+            f2 = self._run("fwd", abase[idx], bbase[idx], a2, d2,
+                           aoffp[idx], boffp[idx], Aflat, Bflat)
+            for j, i in enumerate(redo_f):
+                if f2.overflow[j]:
+                    fallback.add(i)
+                    continue
+                trimx, trimy, trimd, trimha, trimhb = _reach_select(
+                    f2, j, self.spec.reach)
+                _, fwd, btr = _host.extract_forward_traces(
+                    f2.pool[j], trimha, trimhb, trimx, trimy, trimd,
+                    int(a2[j]))
+                ap = apaths[i]
+                ap.aepos, ap.bepos, ap.diffs = fwd.aepos, fwd.bepos, fwd.diffs
+                fwd_a[i] = fwd.trace
+                fwd_b[i] = btr
+
+        if redo_r:
+            idx = np.array(redo_r, np.int32)
+            d2 = np.array([apaths[i].aepos - apaths[i].bepos for i in redo_r],
+                          np.int32)
+            a2 = np.array([apaths[i].aepos + apaths[i].bepos for i in redo_r],
+                          np.int32)
+            r2 = self._run("rev", abase[idx], bbase[idx], a2, d2,
+                           aoffp[idx], boffp[idx], Aflat, Bflat)
+            for j, i in enumerate(redo_r):
+                if r2.overflow[j]:
+                    fallback.add(i)
+                    continue
+                trimx, trimy, trimd, trimha, trimhb = _reach_select(
+                    r2, j, self.spec.reach)
+                ap = apaths[i]
+                ap.diffs = 0
+                fa, fb = [], []
+                a_pre, b_pre = _host.extract_reverse_traces(
+                    r2.pool[j], trimha, trimhb, trimx, trimy, trimd, TS,
+                    int(aoffp[i]), int(boffp[i]), fa, fb)
+                ap.abpos, ap.bbpos = trimx, trimy
+                ap.diffs = trimd
+                fwd_a[i] = a_pre + fa
+                fwd_b[i] = b_pre + fb
+
+        for i in range(n):
+            if i in fallback:
+                self.n_fallback += 1
+                a_np = Anp[abase[i]:abase[i] + alen[i]]
+                b_np = Bnp[bbase[i]:bbase[i] + blen[i]]
+                out[i] = _host.local_alignment(
+                    a_np, b_np, self.spec, int(diag[i]), int(diag[i]),
+                    int(anti[i]), -1, -1, int(flags[i]))
+                continue
+            ap = apaths[i]
+            bp = _host.PathRec()
+            ap.trace = fwd_a[i]
+            bp.trace = fwd_b[i]
+            _host.finalize_paths(ap, bp, int(flags[i]), int(alen[i]),
+                                 int(blen[i]))
+            out[i] = (ap, bp)
+        return out
+
+
+def _reach_select(res: WaveResult, i: int, reach: bool):
+    """REACH boundary selection (align.c:907-915 / 1561-1569)."""
+    if res.morem[i] >= 0 and reach:
+        trimy = int(res.morey[i])
+        trimx = int(res.morea[i]) - trimy
+        trimd = int(res.mored[i])
+        trimha = int(res.moreha[i])
+        trimhb = int(res.morehb[i])
+    else:
+        trimy = int(res.trimy[i])
+        trimx = int(res.trima[i]) - trimy
+        trimd = int(res.trimd[i])
+        trimha = int(res.trimha[i])
+        trimhb = int(res.trimhb[i])
+    return trimx, trimy, trimd, trimha, trimhb

@@ -2,13 +2,20 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
 # exercised without TPU hardware (the driver separately dry-runs multichip).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NB: the environment may pre-import jax with a TPU platform plugin, so force
+# the platform via jax.config too — env vars alone are read too late.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xf = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xf:
     os.environ["XLA_FLAGS"] = (
         xf + " --xla_force_host_platform_device_count=8").strip()
 
-import pathlib
-import sys
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import pathlib  # noqa: E402
+import sys  # noqa: E402
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))

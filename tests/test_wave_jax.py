@@ -1,0 +1,108 @@
+"""Differential tests: batched device wave engine vs the host oracle
+(which is itself differentially verified against the reference binary)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from damapper_tpu.io import db as dbio
+from damapper_tpu.ops import wave
+from damapper_tpu.ops.spec import new_align_spec
+from damapper_tpu.ops.wave_jax import WaveEngine
+from tests import helpers
+
+
+def make_cases(seed, ncases, glen=6000, rlen=2500, err=0.15):
+    """Build a flat sentinel-separated sequence memory plus seed instances,
+    mimicking the loaded-DB layout."""
+    rng = np.random.default_rng(seed)
+    genome = helpers.sim_genome(rng, glen)
+    g = dbio.seq_to_numeric(genome)
+
+    flat = [np.array([4], np.uint8)]
+    off = 1
+    entries = []
+    for _ in range(ncases):
+        start = int(rng.integers(0, glen - rlen))
+        frag = genome[start:start + rlen]
+        out = []
+        truth = []
+        bpos = 0
+        for i, ch in enumerate(frag):
+            if rng.random() < err:
+                t = rng.random()
+                if t < 0.55:
+                    out.append("ACGT"[rng.integers(0, 4)])
+                    out.append(ch)
+                    truth.append((start + i, bpos + 1))
+                    bpos += 2
+                elif t < 0.80:
+                    pass
+                else:
+                    out.append("ACGT"[(("ACGT".index(ch)) + 1) % 4])
+                    bpos += 1
+            else:
+                out.append(ch)
+                truth.append((start + i, bpos))
+                bpos += 1
+        b = dbio.seq_to_numeric("".join(out))
+        apos, bp = truth[len(truth) // 2]
+        entries.append((b, apos + 1, bp + 1))
+
+    # layout: genome first, then each read, sentinel-separated
+    gbase = off
+    flat.append(g)
+    off += len(g)
+    insts = []
+    for b, apos, bp in entries:
+        flat.append(np.array([4], np.uint8))
+        off += 1
+        bbase = off
+        flat.append(b)
+        off += len(b)
+        insts.append(dict(abase=gbase, alen=len(g), bbase=bbase, blen=len(b),
+                          diag=apos - bp, anti=apos + bp, flags=0))
+    flat.append(np.array([4], np.uint8))
+    seqmem = np.concatenate(flat)
+    return seqmem, insts
+
+
+@pytest.mark.parametrize("seed,err", [(0, 0.15), (1, 0.15), (2, 0.05),
+                                      (3, 0.30), (4, 0.15)])
+def test_wave_jax_matches_oracle(seed, err):
+    seqmem, insts = make_cases(1000 + seed, ncases=6, err=err)
+    spec = new_align_spec(0.85, 100, [.25, .25, .25, .25], True)
+    eng = WaveEngine(spec, band_cap=256, pool_cap=2048)
+    dev = jnp.asarray(seqmem)
+    got = eng.local_alignment_batch(dev, dev, seqmem, seqmem, insts)
+    for i, s in enumerate(insts):
+        a_np = seqmem[s["abase"]:s["abase"] + s["alen"]]
+        b_np = seqmem[s["bbase"]:s["bbase"] + s["blen"]]
+        ea, eb = wave.local_alignment(a_np, b_np, spec, s["diag"], s["diag"],
+                                      s["anti"], -1, -1, s["flags"])
+        ga, gb = got[i]
+        for nm, e, g in (("A", ea, ga), ("B", eb, gb)):
+            assert (e.abpos, e.bbpos, e.aepos, e.bepos, e.diffs) == \
+                   (g.abpos, g.bbpos, g.aepos, g.bepos, g.diffs), \
+                   f"case {i} {nm}: {(e.abpos,e.bbpos,e.aepos,e.bepos,e.diffs)}" \
+                   f" vs {(g.abpos,g.bbpos,g.aepos,g.bepos,g.diffs)}"
+            assert list(e.trace) == list(g.trace), f"case {i} {nm} trace"
+
+
+def test_wave_jax_boundary_reach():
+    """Seeds near contig boundaries exercise sentinel clipping + REACH."""
+    seqmem, insts = make_cases(2000, ncases=4, glen=2600, rlen=2500)
+    spec = new_align_spec(0.85, 100, [.25, .25, .25, .25], True)
+    eng = WaveEngine(spec, band_cap=256, pool_cap=2048)
+    dev = jnp.asarray(seqmem)
+    got = eng.local_alignment_batch(dev, dev, seqmem, seqmem, insts)
+    for i, s in enumerate(insts):
+        a_np = seqmem[s["abase"]:s["abase"] + s["alen"]]
+        b_np = seqmem[s["bbase"]:s["bbase"] + s["blen"]]
+        ea, eb = wave.local_alignment(a_np, b_np, spec, s["diag"], s["diag"],
+                                      s["anti"], -1, -1, s["flags"])
+        ga, gb = got[i]
+        assert (ea.abpos, ea.bbpos, ea.aepos, ea.bepos, ea.diffs) == \
+               (ga.abpos, ga.bbpos, ga.aepos, ga.bepos, ga.diffs)
+        assert list(ea.trace) == list(ga.trace)
+        assert list(eb.trace) == list(gb.trace)
