@@ -536,11 +536,22 @@ class WaveEngine:
     def _run(self, which, abase, bbase, mida, k0, aoffp, boffp,
              Aflat, Bflat) -> WaveResult:
         fn = self._fwd if which == "fwd" else self._rev
-        out = fn(jnp.asarray(abase, jnp.int32), jnp.asarray(bbase, jnp.int32),
-                 jnp.asarray(mida, jnp.int32), jnp.asarray(k0, jnp.int32),
-                 jnp.asarray(aoffp, jnp.int32), jnp.asarray(boffp, jnp.int32),
-                 Aflat, Bflat, self.table, self.score)
-        return WaveResult(**{f: np.asarray(v) for f, v in out.items()})
+        # pad the batch to a power-of-two bucket so XLA compiles once per
+        # bucket instead of once per batch size (pad lanes repeat lane 0 and
+        # are discarded by the caller)
+        n = len(abase)
+        cap = max(8, 1 << (n - 1).bit_length())
+
+        def pad(x):
+            x = np.asarray(x, np.int32)
+            if len(x) == cap:
+                return jnp.asarray(x)
+            return jnp.asarray(np.concatenate(
+                [x, np.repeat(x[:1], cap - len(x))]))
+
+        out = fn(pad(abase), pad(bbase), pad(mida), pad(k0), pad(aoffp),
+                 pad(boffp), Aflat, Bflat, self.table, self.score)
+        return WaveResult(**{f: np.asarray(v)[:n] for f, v in out.items()})
 
     # ---- full Local_Alignment over a batch of seeds ----
 

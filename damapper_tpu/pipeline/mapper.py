@@ -129,8 +129,12 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
                                        + (".dam" if isdam else ".db")),
                           [], cfg.kmer)
 
+    engine = None
+    if cfg.wave_backend == "jax":
+        from ..ops.wave_jax import WaveEngine
+        engine = WaveEngine(spec)
     rep = Reporter(spec, cfg.kmer, cfg.spacing, cfg.best_tie,
-                   do_a=cfg.do_a, do_b=cfg.do_b)
+                   do_a=cfg.do_a, do_b=cfg.do_b, engine=engine)
     profile_out = [] if cfg.profile else None
     a_recs, b_recs = rep.run(reads_db, ref_full, state,
                              astart=reads_db.tfirst, profile_out=profile_out)

@@ -235,7 +235,7 @@ class Reporter:
     map.c:2362-2871)."""
 
     def __init__(self, spec, kmer: int, spacing: int, best_tie: float,
-                 do_a=True, do_b=False):
+                 do_a=True, do_b=False, engine=None):
         self.spec = spec
         self.kmer = kmer
         self.spacing = spacing
@@ -244,6 +244,7 @@ class Reporter:
         self.do_b = do_b
         self.small = spacing <= TRACE_XOVR
         self.hithr = HITMIN * kmer
+        self.engine = engine   # damapper_tpu.ops.wave_jax.WaveEngine or None
 
     def run(self, reads_db, ref_db, state, astart: int = 0, profile_out=None):
         """Returns (a_records, b_records) lists of LA.
@@ -253,8 +254,15 @@ class Reporter:
         first read (tfirst)."""
         a_out: list[LA] = []
         b_out: list[LA] = []
+        if self.engine is not None:
+            per_read = self._align_block_batched(reads_db, ref_db, state)
+        else:
+            per_read = None
         for ar in range(reads_db.nreads):
-            amatch, bmatch = self._align_read(ar, reads_db, ref_db, state)
+            if per_read is None:
+                amatch, bmatch = self._align_read(ar, reads_db, ref_db, state)
+            else:
+                amatch, bmatch = self._collate_read(ar, per_read[ar], state)
             self._select(ar + astart, amatch, bmatch, a_out, b_out)
             if profile_out is not None:
                 cnt = state.cover[ar]
@@ -316,28 +324,141 @@ class Reporter:
 
             nxt = cands[ci + 1] if ci + 1 < len(cands) else None
             if nxt is None or nxt.bread != br or nxt.comp != cm:
-                seg_a = amatch[lovl:]
-                seg_b = bmatch[lovl:] if self.do_b else None
-                if len(seg_a) > 1:
-                    seg_a, seg_b = handle_redundancies(seg_a, seg_b,
-                                                       self.spacing, cm)
-                if len(seg_a) > 1:
-                    order = sorted(range(len(seg_a)),
-                                   key=lambda i: (-seg_a[i].path.abpos, -i))
-                    seg_a = [seg_a[i] for i in order]
-                    if self.do_b:
-                        if cm:
-                            order_b = sorted(range(len(seg_b)),
-                                             key=lambda i: (seg_b[i].path.bepos, -i))
-                        else:
-                            order_b = sorted(range(len(seg_b)),
-                                             key=lambda i: (-seg_b[i].path.bbpos, -i))
-                        seg_b = [seg_b[i] for i in order_b]
-                amatch = amatch[:lovl] + seg_a
-                if self.do_b:
-                    bmatch = bmatch[:lovl] + seg_b
+                amatch, bmatch = self._flush_group(amatch, bmatch, lovl, cm)
                 lovl = len(amatch)
 
+        return amatch, bmatch
+
+    def _flush_group(self, amatch, bmatch, lovl, cm):
+        """Dedup + order one finished (bread, comp) run (map.c:2589-2606)."""
+        seg_a = amatch[lovl:]
+        seg_b = bmatch[lovl:] if self.do_b else None
+        if len(seg_a) > 1:
+            seg_a, seg_b = handle_redundancies(seg_a, seg_b,
+                                               self.spacing, cm)
+        if len(seg_a) > 1:
+            order = sorted(range(len(seg_a)),
+                           key=lambda i: (-seg_a[i].path.abpos, -i))
+            seg_a = [seg_a[i] for i in order]
+            if self.do_b:
+                if cm:
+                    order_b = sorted(range(len(seg_b)),
+                                     key=lambda i: (seg_b[i].path.bepos, -i))
+                else:
+                    order_b = sorted(range(len(seg_b)),
+                                     key=lambda i: (-seg_b[i].path.bbpos, -i))
+                seg_b = [seg_b[i] for i in order_b]
+        amatch = amatch[:lovl] + seg_a
+        if self.do_b:
+            bmatch = bmatch[:lovl] + seg_b
+        return amatch, bmatch
+
+    # -- batched block alignment on the device engine -------------------------
+
+    def _align_block_batched(self, reads_db, ref_db, state):
+        """Align every candidate of every read with the batched wave engine.
+
+        Candidates are independent; seeds within one candidate are sequential
+        (each successful LA moves the not-yet-covered boundary `alast`,
+        map.c:2487-2576), so alignment proceeds in rounds: one pending seed
+        per live candidate per round, batched across the whole block."""
+        import jax.numpy as jnp
+
+        from ..io.db import complement_numeric
+
+        nreads = reads_db.nreads
+        rd_seq = reads_db.seq
+        # complemented copy of every read, same offsets
+        comp_seq = rd_seq.copy()
+        for i in range(nreads):
+            o = int(reads_db.reads["boff"][i])
+            ln = int(reads_db.reads["rlen"][i])
+            comp_seq[o:o + ln] = complement_numeric(rd_seq[o:o + ln])
+        ref_seq = ref_db.seq
+        flat = np.concatenate([rd_seq, comp_seq, ref_seq])
+        comp_off = len(rd_seq)
+        ref_off = 2 * len(rd_seq)
+        dev = jnp.asarray(flat)
+
+        tasks = []
+        per_read = [[] for _ in range(nreads)]
+        for ar in range(nreads):
+            alen = int(reads_db.reads["rlen"][ar])
+            aboff = int(reads_db.reads["boff"][ar])
+            for ci, cand in enumerate(state.cands[ar]):
+                blen = int(ref_db.reads["rlen"][cand.bread])
+                bboff = int(ref_db.reads["boff"][cand.bread])
+                t = dict(ar=ar, ci=ci, cand=cand, alen=alen, blen=blen,
+                         abase=(comp_off + aboff) if cand.comp else aboff,
+                         bbase=ref_off + bboff,
+                         pos=0, apos=cand.alast, bpos=cand.blast,
+                         alast=alen + 1, results=[])
+                tasks.append(t)
+                per_read[ar].append(t)
+
+        active = tasks
+        while active:
+            seeds = []
+            run_tasks = []
+            nxt_active = []
+            for t in active:
+                jumps = t["cand"].jumps
+                found = False
+                while t["pos"] < len(jumps):
+                    adisp, bdisp = jumps[t["pos"]]
+                    t["pos"] += 1
+                    t["apos"] -= adisp
+                    t["bpos"] -= bdisp
+                    if t["apos"] < t["alast"]:
+                        found = True
+                        break
+                if not found:
+                    continue
+                if t["cand"].comp:
+                    ac = t["alen"] - t["apos"]
+                    bc = t["blen"] - t["bpos"]
+                    dg, ad = ac - bc, ac + bc
+                    fl = ACOMP_FLAG
+                else:
+                    dg, ad = t["apos"] - t["bpos"], t["apos"] + t["bpos"]
+                    fl = 0
+                seeds.append(dict(abase=t["abase"], alen=t["alen"],
+                                  bbase=t["bbase"], blen=t["blen"],
+                                  diag=dg, anti=ad, flags=fl))
+                run_tasks.append(t)
+            if not run_tasks:
+                break
+            results = self.engine.local_alignment_batch(dev, dev, flat, flat,
+                                                        seeds)
+            for t, (apath, bpath) in zip(run_tasks, results):
+                if apath.aepos - apath.abpos >= self.hithr:
+                    t["alast"] = apath.abpos
+                    t["results"].append((apath, bpath))
+                nxt_active.append(t)
+            active = nxt_active
+
+        return per_read
+
+    def _collate_read(self, ar, read_tasks, state):
+        """Assemble a read's batched results in candidate order and apply the
+        per-(bread,comp)-group dedup, mirroring the sequential path."""
+        amatch: list[_Match] = []
+        bmatch: list[_Match] = [] if self.do_b else None
+        lovl = 0
+        cands = state.cands[ar]
+        for ci, t in enumerate(read_tasks):
+            cand = t["cand"]
+            cm = cand.comp
+            for (apath, bpath) in t["results"]:
+                amatch.append(_Match(ar, cand.bread,
+                                     COMP_FLAG if cm else 0, apath))
+                if self.do_b:
+                    bmatch.append(_Match(cand.bread, ar,
+                                         COMP_FLAG if cm else 0, bpath))
+            nxt = cands[ci + 1] if ci + 1 < len(cands) else None
+            if nxt is None or nxt.bread != cand.bread or nxt.comp != cm:
+                amatch, bmatch = self._flush_group(amatch, bmatch, lovl, cm)
+                lovl = len(amatch)
         return amatch, bmatch
 
     # -- chain graph + zone selection (map.c:2630-2816) ----------------------

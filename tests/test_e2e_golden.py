@@ -18,7 +18,7 @@ from tests import helpers
 
 
 def make_dataset(tmp_path, seed=7, glen=120_000, ncontigs=4, nreads=25,
-                 bsize=70_000, **simkw):
+                 bsize=70_000, max_len=8000, **simkw):
     rng = np.random.default_rng(seed)
     genome = helpers.sim_genome(rng, glen)
     clen = glen // ncontigs
@@ -28,7 +28,7 @@ def make_dataset(tmp_path, seed=7, glen=120_000, ncontigs=4, nreads=25,
     for _ in range(nreads):
         ci = int(rng.integers(0, ncontigs))
         r, *_ = helpers.sim_read(rng, entries[ci].seq,
-                                 min_len=2000, max_len=8000, **simkw)
+                                 min_len=2000, max_len=max_len, **simkw)
         reads.append(r)
     dbio.create_dam(str(tmp_path / "ref.dam"), entries, bsize=bsize)
     dbio.create_db(str(tmp_path / "reads.db"),
@@ -95,6 +95,21 @@ def test_e2e_near_optimal_pile_order(tmp_path):
                  bsize=40_000)
     grecs, orecs = run_both(tmp_path, ["-k20", "-n.85", "-z"],
                             DamapperConfig(best_tie=.85, map_order=False))
+    assert len(grecs) > 0
+    d = diff_las(grecs, orecs)
+    assert not d, d
+
+
+def test_e2e_jax_wave_backend(tmp_path):
+    """The batched device wave engine must reproduce the reference .las too.
+
+    Dataset kept small: the vmapped wave runs lockstep lanes, which the CPU
+    test backend executes serially (the TPU is the real target)."""
+    (tmp_path / "ours").mkdir()
+    make_dataset(tmp_path, seed=7, glen=24_000, ncontigs=2, nreads=6,
+                 bsize=14_000, max_len=3500)
+    grecs, orecs = run_both(tmp_path, ["-k20", "-T4"],
+                            DamapperConfig(wave_backend="jax"))
     assert len(grecs) > 0
     d = diff_las(grecs, orecs)
     assert not d, d
