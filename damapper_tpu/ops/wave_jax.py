@@ -514,8 +514,8 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool):
 class WaveEngine:
     """Batched device Local_Alignment with host oracle fallback."""
 
-    def __init__(self, spec: AlignSpec, band_cap: int = 256,
-                 pool_cap: int = 8192):
+    def __init__(self, spec: AlignSpec, band_cap: int = 64,
+                 pool_cap: int = 2048):
         self.spec = spec
         self.W = band_cap
         self.P = pool_cap
