@@ -208,7 +208,19 @@ class ChainState:
         bb = h.orig.bpos - self.kmer
         ae = h.apos
         be = h.bpos
+        length = _chain_length(h)
+        jumps = []
+        g = h
+        f = h.frm
+        while f is not None:
+            jumps.append((g.apos - f.apos, g.bpos - f.bpos))
+            g = f
+            f = f.frm
+        self._push_candidate(ar, h.cost, ab, ae, bb, be, length, jumps,
+                             bread_global, comp)
 
+    def _push_candidate(self, ar, cost, ab, ae, bb, be, length, jumps,
+                        bread_global, comp):
         if self.profile:
             cnt = self.cover[ar]
             tb = ab // self.spacing
@@ -218,7 +230,6 @@ class ChainState:
                 cnt[te] -= 1
 
         stack = self.cands[ar]
-        cost = h.cost
         d = 0
         dominated = False
         while d < len(stack):
@@ -250,26 +261,29 @@ class ChainState:
         if dominated:
             return
 
-        length = _chain_length(h)
-        jumps = []
-        g = h
-        f = h.frm
-        while f is not None:
-            jumps.append((g.apos - f.apos, g.bpos - f.bpos))
-            g = f
-            f = f.frm
         stack.insert(0, Candidate(score=cost, bread=bread_global, comp=comp,
                                   afirst=ab, alast=ae, bfirst=bb, blast=be,
                                   length=length, jumps=jumps))
 
     # -- public entry --------------------------------------------------------
 
-    def process_hits(self, hits, bstart: int, comp: int) -> None:
+    def process_hits(self, hits, bstart: int, comp: int,
+                     native: bool = True) -> None:
         """Chain all hits of one Match_Filter pass (one ref block, one
-        orientation).  hits must be sorted by (aread, bread, apos)."""
+        orientation).  hits must be sorted by (aread, bread, apos).
+
+        native=True uses the C++ sweep (damapper_tpu/native/chain_sweep.cpp,
+        identical results); falls back to the Python sweep if the native
+        library cannot be built."""
         n = len(hits)
         if n == 0:
             return
+        if native:
+            try:
+                self._process_hits_native(hits, bstart, comp)
+                return
+            except (OSError, ImportError, FileNotFoundError):
+                pass
         aread, bread = hits.aread, hits.bread
         apos1 = hits.apos + 1           # 1-based end coords (map.c:1784)
         bpos1 = apos1 - hits.diag
@@ -285,3 +299,40 @@ class ChainState:
             for h in scan:
                 if h.cost >= self.hithr and h.orig.best is h:
                     self._consider(ar, h, br + bstart, comp)
+
+    def _process_hits_native(self, hits, bstart: int, comp: int) -> None:
+        import ctypes
+
+        from ..native import chain_lib
+
+        lib = chain_lib()
+        aread = np.ascontiguousarray(hits.aread, np.int32)
+        bread = np.ascontiguousarray(hits.bread, np.int32)
+        apos1 = np.ascontiguousarray(hits.apos + 1, np.int32)
+        bpos1 = np.ascontiguousarray(apos1 - hits.diag, np.int32)
+        h = lib.chain_sweep(len(aread),
+                            aread.ctypes.data, bread.ctypes.data,
+                            apos1.ctypes.data, bpos1.ctypes.data, self.kmer)
+        try:
+            nmeta = lib.result_meta_len(h)
+            meta = np.ctypeslib.as_array(lib.result_meta(h),
+                                         shape=(nmeta,)).reshape(-1, 8)
+            njmp = lib.result_jumps_len(h)
+            jarr = np.ctypeslib.as_array(lib.result_jumps(h),
+                                         shape=(njmp,)) if njmp else \
+                np.zeros(0, np.int32)
+            cur = 0
+            for row in meta:
+                ar, br, cost, ab, ae, bb, be, length = (int(x) for x in row)
+                # jump pairs = number of remaining links after compression
+                npairs = 0
+                j = cur
+                # count pairs: they equal the compressed-chain link count
+                npairs = length
+                jumps = [(int(jarr[2 * p + j]), int(jarr[2 * p + j + 1]))
+                         for p in range(npairs)]
+                cur += 2 * npairs
+                self._push_candidate(ar, cost, ab, ae, bb, be, length, jumps,
+                                     br + bstart, comp)
+        finally:
+            lib.result_free(h)

@@ -1,0 +1,142 @@
+"""Execution-plan generator: HPC.damapper equivalent for TPU pod slices.
+
+The reference emits a shell script of embarrassingly-parallel damapper
+commands over read-block ranges plus an LAcheck house-keeping block
+(HPC.damapper.c:48-510, README.md:71-104), with restart-from-last-block
+resume semantics (block fblock-1's .las must exist, fblock's must not,
+HPC.damapper.c:289-357).
+
+`generate_plan` reproduces that contract for this framework: each job maps -B
+read blocks on one host (each host drives its own TPU chip(s); within a job
+the work is data-parallel over the device mesh, damapper_tpu.parallel.mesh).
+Output is either the classic shell script (`fmt="sh"`) or a machine-readable
+JSON pod-slice schedule (`fmt="json"`) binding jobs to host ranks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+from ..io import db as dbio
+
+
+def _roots(path: str):
+    pwd, root, isdam = dbio._split_db_path(path)
+    usepath = pwd not in (".", "")
+    return pwd, root, isdam, usepath
+
+
+def generate_plan(ref_path: str, reads_path: str, *, bunit: int = 4,
+                  first_block: int | None = None,
+                  last_block: int | None = None,
+                  damapper_cmd: str = "python -m damapper_tpu.cli damapper",
+                  opts: str = "", nhosts: int | None = None,
+                  fmt: str = "sh", check_resume: bool = True) -> str:
+    pwd1, root1, isdam1, usepath1 = _roots(ref_path)
+    pwd2, root2, isdam2, usepath2 = _roots(reads_path)
+    if root1 == root2 and pwd1 == pwd2:
+        raise ValueError("Comparing a database against itself; "
+                         "use an overlapper plan")
+
+    stub2 = dbio.read_stub(os.path.join(
+        pwd2, root2 + (".dam" if isdam2 else ".db")))
+    useblock2 = stub2.nblocks > 1
+    nblocks2 = max(stub2.nblocks, 1)
+
+    fblock = 1 if first_block is None else first_block
+    lblock = nblocks2 if last_block is None else last_block
+    if first_block is not None or last_block is not None:
+        useblock2 = True
+    if fblock < 1 or lblock > nblocks2 or fblock > lblock:
+        raise ValueError(f"range {fblock}-{lblock} is empty or out of bounds")
+
+    src2 = os.path.join(pwd2, root2) if usepath2 else root2
+    src1 = os.path.join(pwd1, root1) if usepath1 else root1
+
+    # resume contract (HPC.damapper.c:329-354)
+    if check_resume:
+        if fblock > 1 and not os.path.exists(
+                f"{src2}.{fblock - 1}.{root1}.las"):
+            raise FileNotFoundError(
+                f"File {src2}.{fblock - 1}.{root1}.las should already be "
+                f"present!")
+        probe = (f"{src2}.{fblock}.{root1}.las" if useblock2
+                 else f"{src2}.{root1}.las")
+        if os.path.exists(probe):
+            raise FileExistsError(f"File {probe} should not yet exist!")
+
+    bunit = max(bunit, 1)
+    bits = (lblock - fblock) // bunit + 1
+    jobs = []
+    low = fblock
+    for j in range(1, bits + 1):
+        hgh = fblock + ((lblock - fblock + 1) * j) // bits
+        blocks = list(range(low, hgh))
+        args = [src1] + [f"{src2}.{k}" if useblock2 else src2
+                         for k in blocks]
+        jobs.append({"blocks": blocks, "args": args})
+        low = hgh
+
+    if fmt == "json":
+        n = nhosts or len(jobs)
+        plan = {
+            "reference": src1,
+            "reads": src2,
+            "jobs": [
+                {"host": i % n, "cmd": f"{damapper_cmd} {opts} "
+                                       + " ".join(j["args"]),
+                 "blocks": j["blocks"]}
+                for i, j in enumerate(jobs)
+            ],
+            "check": [f"python -m damapper_tpu.cli lacheck "
+                      f"{src2}.@{fblock}-{lblock}.{root1}.las"
+                      if useblock2 else
+                      f"python -m damapper_tpu.cli lacheck {src2}.{root1}.las"],
+            "resume": {"contract": "block N-1 .las present, block N absent",
+                       "first_block": fblock, "last_block": lblock},
+        }
+        return json.dumps(plan, indent=2)
+
+    lines = [f"# Damapper jobs ({len(jobs)})"]
+    for j in jobs:
+        lines.append(f"{damapper_cmd}{(' ' + opts) if opts else ''} "
+                     + " ".join(j["args"]))
+    lines.append("# Check all .las files (optional but recommended)")
+    if useblock2:
+        lines.append(f"python -m damapper_tpu.cli lacheck "
+                     f"{src2}.@{fblock}-{lblock}.{root1}.las")
+    else:
+        lines.append(f"python -m damapper_tpu.cli lacheck {src2}.{root1}.las")
+    return "\n".join(lines) + "\n"
+
+
+def main_plan(argv: list[str]) -> int:
+    """CLI: plan [-vpzCN] [-B<int>] [-f<json|sh>] [-k..-t..-e..-s..-n..-M..-T..]
+    <ref> <reads> [first[-last]]"""
+    opts = []
+    bunit = 4
+    fmt = "sh"
+    args = []
+    for a in argv:
+        if a.startswith("-B"):
+            bunit = int(a[2:])
+        elif a.startswith("-f"):
+            fmt = a[2:] or "sh"
+        elif a.startswith("-"):
+            opts.append(a)
+        else:
+            args.append(a)
+    if len(args) < 2:
+        print(main_plan.__doc__, file=sys.stderr)
+        return 1
+    first = last = None
+    if len(args) > 2:
+        rng = args[2].split("-")
+        first = int(rng[0])
+        last = int(rng[1]) if len(rng) > 1 else first
+    print(generate_plan(args[0], args[1], bunit=bunit,
+                        first_block=first, last_block=last,
+                        opts=" ".join(opts), fmt=fmt), end="")
+    return 0

@@ -1,0 +1,59 @@
+"""Chain sweep tests: native C++ vs Python sweep equality on random hits."""
+
+import numpy as np
+import pytest
+
+from damapper_tpu.ops.chain import ChainState
+from damapper_tpu.ops.seeds import SeedHits
+
+
+def random_hits(rng, n, nreads=3, nctg=2, span=20000):
+    aread = np.sort(rng.integers(0, nreads, n).astype(np.int32))
+    bread = rng.integers(0, nctg, n).astype(np.int32)
+    apos = rng.integers(20, span, n).astype(np.int32)
+    bpos = rng.integers(20, span, n).astype(np.int32)
+    # cluster some hits along diagonals to form real chains
+    m = n // 2
+    base_a = rng.integers(100, span - 3000)
+    base_b = rng.integers(100, span - 3000)
+    apos[:m] = base_a + np.sort(rng.integers(0, 2500, m))
+    bpos[:m] = apos[:m] - base_a + base_b + rng.integers(-40, 40, m)
+    # dedup: real pipeline hits are unique in (aread, bread, apos, bpos)
+    rows = np.stack([aread, bread, apos, bpos], axis=1)
+    rows = np.unique(rows, axis=0)
+    aread, bread, apos, bpos = rows.T.astype(np.int32)
+    diag = apos - bpos
+    order = np.lexsort((apos, bread, aread))
+    return SeedHits(aread[order], bread[order], apos[order], diag[order])
+
+
+def dump(state):
+    out = []
+    for ar, cands in enumerate(state.cands):
+        for c in cands:
+            out.append((ar, c.score, c.bread, c.comp, c.afirst, c.alast,
+                        c.bfirst, c.blast, c.length, tuple(c.jumps)))
+    return out
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_native_matches_python(seed):
+    rng = np.random.default_rng(900 + seed)
+    hits = random_hits(rng, 4000)
+    s1 = ChainState(3, kmer=20)
+    s1.process_hits(hits, bstart=5, comp=1, native=False)
+    s2 = ChainState(3, kmer=20)
+    s2.process_hits(hits, bstart=5, comp=1, native=True)
+    assert dump(s1) == dump(s2)
+
+
+def test_native_multi_pass_accumulation(tmp_path):
+    rng = np.random.default_rng(1234)
+    h1 = random_hits(rng, 3000)
+    h2 = random_hits(rng, 3000)
+    s1 = ChainState(3, kmer=14)
+    s2 = ChainState(3, kmer=14)
+    for h, comp in ((h1, 0), (h2, 1)):
+        s1.process_hits(h, bstart=0, comp=comp, native=False)
+        s2.process_hits(h, bstart=0, comp=comp, native=True)
+    assert dump(s1) == dump(s2)

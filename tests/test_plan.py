@@ -1,0 +1,62 @@
+import json
+import os
+
+import pytest
+
+from damapper_tpu.io import db as dbio
+from damapper_tpu.io import fasta
+from damapper_tpu.parallel.plan import generate_plan
+from tests import helpers
+
+
+@pytest.fixture()
+def dbs(tmp_path):
+    genome, reads = helpers.sim_dataset(seed=5, glen=30000, nreads=12)
+    dbio.create_dam(str(tmp_path / "ref.dam"),
+                    [fasta.FastaEntry("g", genome)])
+    dbio.create_db(str(tmp_path / "reads.db"),
+                   [fasta.FastaEntry(f"r{i}", r) for i, r in enumerate(reads)],
+                   bsize=20000)   # multiple blocks
+    return tmp_path
+
+
+def test_plan_sh(dbs, monkeypatch):
+    monkeypatch.chdir(dbs)
+    stub = dbio.read_stub(str(dbs / "reads.db"))
+    plan = generate_plan("ref.dam", "reads.db", bunit=2)
+    lines = plan.splitlines()
+    njobs = (stub.nblocks - 1) // 2 + 1
+    assert lines[0] == f"# Damapper jobs ({njobs})"
+    body = [ln for ln in lines[1:] if not ln.startswith("#")]
+    # every block appears exactly once across jobs
+    blocks = []
+    for ln in body:
+        if "lacheck" in ln:
+            continue
+        blocks += [a for a in ln.split() if a.startswith("reads.")]
+    assert sorted(blocks) == sorted(
+        f"reads.{k}" for k in range(1, stub.nblocks + 1))
+    assert "lacheck" in lines[-1]
+
+
+def test_plan_json_hosts(dbs, monkeypatch):
+    monkeypatch.chdir(dbs)
+    plan = json.loads(generate_plan("ref.dam", "reads.db", bunit=1,
+                                    nhosts=2, fmt="json"))
+    hosts = {j["host"] for j in plan["jobs"]}
+    assert hosts <= {0, 1}
+    assert plan["resume"]["first_block"] == 1
+
+
+def test_plan_resume_contract(dbs, monkeypatch):
+    monkeypatch.chdir(dbs)
+    # block 1 output missing -> requesting range starting at 2 must fail
+    with pytest.raises(FileNotFoundError):
+        generate_plan("ref.dam", "reads.db", first_block=2)
+    # create block-1 output -> range from 2 allowed
+    (dbs / "reads.1.ref.las").write_bytes(b"\0" * 12)
+    generate_plan("ref.dam", "reads.db", first_block=2)
+    # but block 2 existing must refuse
+    (dbs / "reads.2.ref.las").write_bytes(b"\0" * 12)
+    with pytest.raises(FileExistsError):
+        generate_plan("ref.dam", "reads.db", first_block=2)
