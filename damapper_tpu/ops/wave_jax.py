@@ -252,6 +252,16 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool):
              more, besta, besty, lasta, trima, trimy, trimd, trimha, trimhb,
              morem, morea, morey, mored, moreha, morehb, overflow) = st
 
+            # own-lane liveness (same predicate as `cond`): under vmap the
+            # batched while re-executes this body for lanes that already
+            # finished, and their stale state would otherwise re-run the
+            # nested snake/drop loops on every remaining combined iteration
+            # (a quadratic blowup for heterogeneous batches).  Gating the
+            # inner loops on `live` makes finished lanes contribute zero
+            # inner iterations; their body results are discarded by the
+            # outer select, so single-lane semantics are unchanged.
+            live = cond(st)
+
             low = low - 1
             hgh = hgh + 1
             overflow = overflow | (hgh - low + 4 >= W) | (avail + W >= P)
@@ -336,8 +346,8 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool):
             else:
                 sn_body_dbg = sn_body
             y, thi, tlo, m, _, clipA, clipB = jax.lax.while_loop(
-                sn_cond, sn_body_dbg, (y, thi, tlo, m, in_band, false_w,
-                                       false_w))
+                sn_cond, sn_body_dbg, (y, thi, tlo, m, in_band & live,
+                                       false_w, false_w))
             c = (y << 1) + k
 
             clip_any = (clipA | clipB).any()
@@ -351,19 +361,21 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool):
 
             # pebble drops (vectorized, prefix-sum slot allocation)
             def mk_drop(get_x, N_arr, H_arr):
+                inb = in_band & live
+
                 def dcond(dst):
                     N, H, av, pl, ov = dst
                     if reverse:
-                        return (in_band & (get_x() <= N)).any()
-                    return (in_band & (get_x() >= N)).any()
+                        return (inb & (get_x() <= N)).any()
+                    return (inb & (get_x() >= N)).any()
 
                 def dbody(dst):
                     N, H, av, pl, ov = dst
                     if reverse:
-                        act = in_band & (get_x() <= N)
+                        act = inb & (get_x() <= N)
                         need = act & (pl[jnp.clip(H, 0, P - 1), 3] > N)
                     else:
-                        act = in_band & (get_x() >= N)
+                        act = inb & (get_x() >= N)
                         need = act & (pl[jnp.clip(H, 0, P - 1), 3] < N)
                     cs = jnp.cumsum(need.astype(i32))
                     idx = av + cs - 1
