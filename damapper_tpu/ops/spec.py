@@ -38,6 +38,8 @@ class AlignSpec:
     reach: bool
     freq: np.ndarray
     ave_path: int
+    mscore: int         # per-match score (FRACTION*bias*(1-corr))
+    dscore: int         # per-diff penalty (FRACTION - mscore)
     score: np.ndarray   # int16[2^15]: total score of the 15-column window
     table: np.ndarray   # int16[2^15]: total - max prefix score (>=0 iff all
     #                     suffixes of the window are non-negative)
@@ -71,4 +73,5 @@ def new_align_spec(ave_corr: float, trace_space: int, freq,
 
     return AlignSpec(ave_corr=ave_corr, trace_space=trace_space,
                      reach=bool(reach), freq=freq.astype(np.float32),
-                     ave_path=ave_path, score=score, table=table)
+                     ave_path=ave_path, mscore=mscore, dscore=dscore,
+                     score=score, table=table)

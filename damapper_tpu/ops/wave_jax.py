@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .spec import AlignSpec, PATH_LEN, TRIM_MLAG, WAVE_LAG
+from .spec import AlignSpec, PATH_LEN, TRIM_LEN, TRIM_MLAG, WAVE_LAG
 from . import wave as _host
 
 _DBG = bool(os.environ.get('WAVE_JAX_DEBUG'))
@@ -68,10 +68,19 @@ class WaveResult:
     pool: np.ndarray        # (N, P, 4) int32: ptr, diag, diff, mark
     avail: np.ndarray
     overflow: np.ndarray
+    waves: np.ndarray       # per-lane main-loop iteration count (telemetry)
 
 
-def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool):
-    """Build the single-lane wave function (closed over static config)."""
+def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool,
+               mscore: int = 0, dscore: int = 0):
+    """Build the single-lane wave function (closed over static config).
+
+    mscore/dscore (spec.mscore/spec.dscore) let the kernel evaluate the
+    suffix-positivity trim tables arithmetically instead of gathering from
+    the 2^15-entry tables (vmapped gathers cost ~70ns/row on TPU, so three
+    (W,)-row lookups per wave dominate; a 15-step unrolled scan is ~free).
+    When both are 0 the kernel falls back to table/score gathers.
+    """
     Wm = W - 1
     sgn = -1 if reverse else 1
 
@@ -89,6 +98,11 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool):
 
         i32 = jnp.int32
         slots = jnp.arange(W, dtype=i32)
+        # snake step-window width: one (.., SS) gather per trip instead of
+        # SS single-base gathers (TPU gathers cost ~50us in-loop regardless
+        # of row count)
+        SS = 16
+        stepv = jnp.arange(SS, dtype=i32) * sgn
 
         # ---------------- wave 0: single diagonal k0 ----------------
         y0 = jnp.right_shift(mida - k0, 1)
@@ -109,20 +123,27 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool):
         avail = i32(2)
         ha0, hb0 = i32(0), i32(1)
 
-        # wave-0 snake (scalar)
+        # wave-0 snake (scalar per lane, SS bases per trip)
         def s0_cond(st):
             y, stop, ca, cb = st
             return ~stop
 
         def s0_body(st):
             y, stop, ca, cb = st
-            bc = bchar(y)
-            ac = achar(y + k0)
-            sb = bc == 4
-            mis = bc != ac
-            sa = (~sb) & mis & (ac == 4)
-            adv = (~sb) & (~mis)
-            return (jnp.where(adv, y + sgn, y), ~adv, ca | sa, cb | sb)
+            bwin = Bflat[jnp.clip(bbase + y + soff + stepv, 0,
+                                  Bflat.shape[0] - 1)]
+            awin = Aflat[jnp.clip(abase + y + k0 + soff + stepv, 0,
+                                  Aflat.shape[0] - 1)]
+            sbv = bwin == 4
+            misv = bwin != awin
+            advv = ((~sbv) & (~misv)).astype(jnp.int32)
+            pref = jnp.cumprod(advv)
+            nst = pref.sum()
+            prefx = jnp.concatenate([jnp.ones((1,), jnp.int32), pref[:-1]])
+            fs = (prefx * (1 - advv)).astype(bool)
+            sb = (fs & sbv).any()
+            sa = (fs & (~sbv) & misv & (awin == 4)).any()
+            return (y + sgn * nst, nst < SS, ca | sa, cb | sb)
 
         y0f, _, clipA0, clipB0 = jax.lax.while_loop(
             s0_cond, s0_body, (y0, jnp.bool_(False), jnp.bool_(False),
@@ -132,26 +153,27 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool):
         aclip = jnp.where(clipA0, k0, (-INT32_MAX if reverse else INT32_MAX))
         bclip = jnp.where(clipB0, k0, (INT32_MAX if reverse else -INT32_MAX))
 
-        # wave-0 pebble drops (scalar loop)
+        # wave-0 pebble drops (scalar loop); carry the head cell's mark so
+        # the main loop never has to re-read it from the pool
         def d0_cond(st):
-            x, n, h, av, pl = st
+            x, n, h, av, pl, mk = st
             return (x <= n) if reverse else (x >= n)
 
         def mk_d0_body(diff_v):
             def d0_body(st):
-                x, n, h, av, pl = st
+                x, n, h, av, pl, mk = st
                 pl = pl.at[av].set(jnp.stack([h, k0, diff_v, n]),
                                    mode="drop")
                 return (x, n - TS if reverse else n + TS,
-                        jnp.where(av < P, av, h), av + 1, pl)
+                        jnp.where(av < P, av, h), av + 1, pl, n)
             return d0_body
 
         xA = y0f + k0
-        xA, na0, ha0, avail, pool = jax.lax.while_loop(
-            d0_cond, mk_d0_body(i32(0)), (xA, na0, ha0, avail, pool))
+        xA, na0, ha0, avail, pool, amk0 = jax.lax.while_loop(
+            d0_cond, mk_d0_body(i32(0)), (xA, na0, ha0, avail, pool, amark0))
         xB = y0f
-        xB, nb0, hb0, avail, pool = jax.lax.while_loop(
-            d0_cond, mk_d0_body(i32(0)), (xB, nb0, hb0, avail, pool))
+        xB, nb0, hb0, avail, pool, bmk0 = jax.lax.while_loop(
+            d0_cond, mk_d0_body(i32(0)), (xB, nb0, hb0, avail, pool, bmark0))
 
         better0 = (c0 < mida) if reverse else (c0 > mida)
         besta = jnp.where(better0, c0, mida)
@@ -173,6 +195,10 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool):
         NB = jnp.zeros(W, i32).at[k0 & Wm].set(nb0)
         HA = jnp.zeros(W, i32).at[k0 & Wm].set(ha0)
         HB = jnp.zeros(W, i32).at[k0 & Wm].set(hb0)
+        # head-cell marks (== pool[HA,3]/pool[HB,3], carried to avoid pool
+        # reads in the drop loops)
+        MA = jnp.zeros(W, i32).at[k0 & Wm].set(amk0)
+        MB = jnp.zeros(W, i32).at[k0 & Wm].set(bmk0)
 
         low = k0
         hgh = k0
@@ -183,9 +209,12 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool):
         moreha = i32(0)
         morehb = i32(0)
 
-        # wave-0 clip handling (align.c:558-583 / 1216-1241)
+        # wave-0 clip handling (align.c:558-583 / 1216-1241).  Slot values at
+        # the clipped diagonal are fetched with a one-hot mask reduction over
+        # the band instead of dynamic indexing (XLA TPU lowers vmapped
+        # dynamic indexing to per-lane gathers at ~50us each).
         def clip_block(more_in, low, hgh, aclip, bclip, besta, besty,
-                       V, M, HA, HB, morem, morea, morey, mored,
+                       V, M, HA, HB, kvec, morem, morea, morey, mored,
                        moreha, morehb, dif, set_mored):
             clipped = ~more_in
             rest = (bchar(besty) != 4) & (achar(besta - besty) != 4)
@@ -197,15 +226,19 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool):
                 hit_b = clipped & (hgh >= bclip)
 
             def grab(kc, morem, morea, morey, mored, moreha, morehb, hit):
-                s = kc & Wm
-                upd = hit & (morem <= M[s])
-                morem = jnp.where(upd, M[s], morem)
-                morea = jnp.where(upd, V[s], morea)
-                morey = jnp.where(upd, (V[s] - kc) // 2, morey)
+                sel = kvec == kc      # at most one band slot matches
+                Mv = jnp.sum(jnp.where(sel, M, 0))
+                Vv = jnp.sum(jnp.where(sel, V, 0))
+                HAv = jnp.sum(jnp.where(sel, HA, 0))
+                HBv = jnp.sum(jnp.where(sel, HB, 0))
+                upd = hit & (morem <= Mv)
+                morem = jnp.where(upd, Mv, morem)
+                morea = jnp.where(upd, Vv, morea)
+                morey = jnp.where(upd, (Vv - kc) // 2, morey)
                 if set_mored:
                     mored = jnp.where(upd, dif, mored)
-                moreha = jnp.where(upd, HA[s], moreha)
-                morehb = jnp.where(upd, HB[s], morehb)
+                moreha = jnp.where(upd, HAv, moreha)
+                morehb = jnp.where(upd, HBv, morehb)
                 return morem, morea, morey, mored, moreha, morehb
 
             morem, morea, morey, mored, moreha, morehb = grab(
@@ -222,10 +255,11 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool):
             return (more_out, low, hgh, morem, morea, morey, mored,
                     moreha, morehb)
 
+        kvec0 = k0 + jnp.remainder(slots - k0, W)
         (more, low, hgh, morem, morea, morey, mored, moreha, morehb) = \
             clip_block(more, low, hgh, aclip, bclip, besta, besty, V, M,
-                       HA, HB, morem, morea, morey, mored, moreha, morehb,
-                       i32(0), set_mored=False)
+                       HA, HB, kvec0, morem, morea, morey, mored, moreha,
+                       morehb, i32(0), set_mored=False)
 
         overflow = jnp.bool_(False)
 
@@ -233,12 +267,13 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool):
         state = (V, Thi, Tlo, M, NA, NB, HA, HB, pool, avail, low, hgh,
                  i32(0), more, besta, besty, lasta, trima, trimy, trimd,
                  trimha, trimhb, morem, morea, morey, mored, moreha, morehb,
-                 overflow)
+                 overflow, MA, MB)
 
         def cond(st):
             (V, Thi, Tlo, M, NA, NB, HA, HB, pool, avail, low, hgh, dif,
              more, besta, besty, lasta, trima, trimy, trimd, trimha, trimhb,
-             morem, morea, morey, mored, moreha, morehb, overflow) = st
+             morem, morea, morey, mored, moreha, morehb, overflow,
+             MA, MB) = st
             if reverse:
                 go = lasta <= besta + TRIM_MLAG
             else:
@@ -250,7 +285,8 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool):
         def body(st):
             (V, Thi, Tlo, M, NA, NB, HA, HB, pool, avail, low, hgh, dif,
              more, besta, besty, lasta, trima, trimy, trimd, trimha, trimhb,
-             morem, morea, morey, mored, moreha, morehb, overflow) = st
+             morem, morea, morey, mored, moreha, morehb, overflow,
+             MA, MB) = st
 
             # own-lane liveness (same predicate as `cond`): under vmap the
             # batched while re-executes this body for lanes that already
@@ -269,13 +305,23 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool):
                 jax.debug.print("wave dif={d} low={l} hgh={h}", d=dif, l=low,
                                 h=hgh)
 
+            # border slot init via one-hot masks: dynamic scalar indexing
+            # under vmap lowers to per-lane gathers (~50us each on TPU)
             sl = low & Wm
             sh = hgh & Wm
-            V = V.at[sl].set(fill).at[sh].set(fill)
-            NA = NA.at[sl].set(NA[(low + 1) & Wm])
-            NB = NB.at[sl].set(NB[(low + 1) & Wm])
-            NA = NA.at[sh].set(NA[(hgh - 1) & Wm])
-            NB = NB.at[sh].set(NB[(hgh - 1) & Wm])
+            is_sl = slots == sl
+            is_sh = slots == sh
+
+            def at_slot(arr, s):
+                return jnp.sum(jnp.where(slots == s, arr, 0))
+
+            V = jnp.where(is_sl | is_sh, fill, V)
+            na_lo, na_hi = at_slot(NA, (low + 1) & Wm), at_slot(NA,
+                                                               (hgh - 1) & Wm)
+            nb_lo, nb_hi = at_slot(NB, (low + 1) & Wm), at_slot(NB,
+                                                               (hgh - 1) & Wm)
+            NA = jnp.where(is_sl, na_lo, jnp.where(is_sh, na_hi, NA))
+            NB = jnp.where(is_sl, nb_lo, jnp.where(is_sh, nb_hi, NB))
             dif = dif + 1
 
             k = low + jnp.remainder(slots - low, W)
@@ -306,6 +352,8 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool):
             tlo = pick3(Tlo)
             ha = pick3(HA)
             hb = pick3(HB)
+            ma = pick3(MA)
+            mb = pick3(MB)
 
             top = (thi >> PATH_TOP_HI_BIT) & 1
             m = m - top.astype(i32)
@@ -314,28 +362,43 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool):
 
             y = jnp.right_shift(c - k, 1)
 
-            # snake (vectorized over diagonals)
+            # snake, vectorized over diagonals AND over SS steps per trip
             def sn_cond(sst):
                 y, thi, tlo, m, act, ca, cb = sst
                 return act.any()
 
             def sn_body(sst):
                 y, thi, tlo, m, act, ca, cb = sst
-                bc = Bflat[jnp.clip(bbase + y + soff, 0, Bflat.shape[0] - 1)]
-                acx = Aflat[jnp.clip(abase + y + k + soff, 0,
-                                     Aflat.shape[0] - 1)]
-                sb = act & (bc == 4)
-                mis = bc != acx
-                sa = act & ~ (bc == 4) & mis & (acx == 4)
-                adv = act & (bc != 4) & ~mis
-                top = (thi >> PATH_TOP_HI_BIT) & 1
-                m = jnp.where(adv, m + 1 - top.astype(i32), m)
-                nthi = ((thi << 1) | (tlo >> 31)) & THI_MASK
-                ntlo = (tlo << 1) | 1
-                thi = jnp.where(adv, nthi, thi)
-                tlo = jnp.where(adv, ntlo, tlo)
-                y = jnp.where(adv, y + sgn, y)
-                return (y, thi, tlo, m, adv, ca | sa, cb | sb)
+                bix = (bbase + y + soff)[:, None] + stepv[None, :]
+                aix = (abase + y + k + soff)[:, None] + stepv[None, :]
+                bwin = Bflat[jnp.clip(bix, 0, Bflat.shape[0] - 1)]
+                awin = Aflat[jnp.clip(aix, 0, Aflat.shape[0] - 1)]
+                sbv = bwin == 4
+                misv = bwin != awin
+                advv = ((~sbv) & (~misv)).astype(i32)       # (W, SS)
+                pref = jnp.cumprod(advv, axis=1)            # leading-run mask
+                nst = jnp.where(act, pref.sum(axis=1), 0)   # advance length
+                # one-hot of the stop position (all-zero when nst == SS)
+                prefx = jnp.concatenate(
+                    [jnp.ones((W, 1), i32), pref[:, :-1]], axis=1)
+                fs = (prefx * (1 - advv)).astype(bool)
+                sb = act & (fs & sbv).any(axis=1)
+                sa = act & (fs & (~sbv) & misv & (awin == 4)).any(axis=1)
+                # batch-update the 61-bit path vector: append nst match bits;
+                # the match count loses the bits shifted out of the window
+                nu = nst.astype(jnp.uint32)
+                ext = (thi >> (29 - nu)) & ((jnp.uint32(1) << nu) - 1)
+                pops = jax.lax.population_count(ext).astype(i32)
+                nthi = ((thi << nu) |
+                        jnp.where(nst == 0, jnp.uint32(0),
+                                  tlo >> (32 - nu))) & THI_MASK
+                ntlo = (tlo << nu) | ((jnp.uint32(1) << nu) - 1)
+                m = jnp.where(act, m + nst - pops, m)
+                thi = jnp.where(act, nthi, thi)
+                tlo = jnp.where(act, ntlo, tlo)
+                y = jnp.where(act, y + sgn * nst, y)
+                act = act & (nst == SS)
+                return (y, thi, tlo, m, act, ca | sa, cb | sb)
 
             false_w = jnp.zeros(W, bool)
             if _DBG:
@@ -359,34 +422,38 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool):
                 aclip = jnp.max(jnp.where(clipA, k, -INT32_MAX))
                 bclip = jnp.min(jnp.where(clipB, k, INT32_MAX))
 
-            # pebble drops (vectorized, prefix-sum slot allocation)
-            def mk_drop(get_x, N_arr, H_arr):
+            # pebble drops (vectorized, prefix-sum slot allocation).  The
+            # head cell's mark rides along in ma/mb so no pool read is
+            # needed; the check pool[H].mark </> N suppresses duplicate
+            # drops on the same trace line after a pick3 inheritance.
+            def mk_drop(get_x):
                 inb = in_band & live
 
                 def dcond(dst):
-                    N, H, av, pl, ov = dst
+                    N, H, MK, av, pl, ov = dst
                     if reverse:
                         return (inb & (get_x() <= N)).any()
                     return (inb & (get_x() >= N)).any()
 
                 def dbody(dst):
-                    N, H, av, pl, ov = dst
+                    N, H, MK, av, pl, ov = dst
                     if reverse:
                         act = inb & (get_x() <= N)
-                        need = act & (pl[jnp.clip(H, 0, P - 1), 3] > N)
+                        need = act & (MK > N)
                     else:
                         act = inb & (get_x() >= N)
-                        need = act & (pl[jnp.clip(H, 0, P - 1), 3] < N)
+                        need = act & (MK < N)
                     cs = jnp.cumsum(need.astype(i32))
                     idx = av + cs - 1
                     widx = jnp.where(need, idx, P)
                     rows = jnp.stack([H, k, jnp.full(W, dif), N], axis=1)
                     pl = pl.at[widx].set(rows, mode="drop")
                     H = jnp.where(need, idx, H)
+                    MK = jnp.where(need, N, MK)
                     nav = av + cs[-1]
                     ov = ov | (nav >= P)
                     N = jnp.where(act, N - TS if reverse else N + TS, N)
-                    return (N, H, jnp.minimum(nav, P), pl, ov)
+                    return (N, H, MK, jnp.minimum(nav, P), pl, ov)
                 return dcond, dbody
 
             def dbg_wrap(db, tag):
@@ -394,83 +461,105 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool):
                     return db
                 def w(dst):
                     out = db(dst)
-                    jax.debug.print("  drop {t} avail={a}", t=tag, a=out[2])
+                    jax.debug.print("  drop {t} avail={a}", t=tag, a=out[3])
                     return out
                 return w
-            dc, db = mk_drop(lambda: y + k, NA, HA)
-            NA2, ha, avail, pool, overflow = jax.lax.while_loop(
-                dc, dbg_wrap(db, 0), (NA, ha, avail, pool, overflow))
-            dc, db = mk_drop(lambda: y, NB, HB)
-            NB2, hb, avail, pool, overflow = jax.lax.while_loop(
-                dc, dbg_wrap(db, 1), (NB, hb, avail, pool, overflow))
-            NA, NB = NA2, NB2
+            dc, db = mk_drop(lambda: y + k)
+            NA, ha, ma, avail, pool, overflow = jax.lax.while_loop(
+                dc, dbg_wrap(db, 0), (NA, ha, ma, avail, pool, overflow))
+            dc, db = mk_drop(lambda: y)
+            NB, hb, mb, avail, pool, overflow = jax.lax.while_loop(
+                dc, dbg_wrap(db, 1), (NB, hb, mb, avail, pool, overflow))
 
             # best/trim updates with the reference's sequential-order
-            # semantics (hgh->low for forward, low->hgh for reverse)
-            pos = jnp.remainder(slots, W)
-            roll_amt = -jnp.remainder(low, W)
+            # semantics (hgh->low for forward, low->hgh for reverse).
+            # Everything runs in SLOT space: the band's low..hgh order is a
+            # rotation of slot order, so position-ordered suffix/prefix
+            # scans decompose into two masked slot-order scans (upper
+            # segment slots >= low mod W come first, lower segment wraps).
+            # This avoids per-lane dynamic rolls, which XLA lowers to
+            # element-serialized gathers (~1ms per (W,) roll per trip).
+            rel = jnp.remainder(slots - low, W)       # position of each slot
+            low0 = jnp.remainder(low, W)
+            maskU = slots >= low0
 
-            def band(arr, fillv):
-                return jnp.roll(jnp.where(in_band, arr, fillv), roll_amt)
-
-            inb_pos = slots <= (hgh - low)
             if not reverse:
-                cb_ = jnp.where(inb_pos, band(c, NEG_BIG), NEG_BIG)
-                suf_incl = jax.lax.cummax(cb_, axis=0, reverse=True)
-                suf_excl = jnp.concatenate([suf_incl[1:],
-                                            jnp.array([NEG_BIG], i32)])
+                cU = jnp.where(in_band & maskU, c, NEG_BIG)
+                cL = jnp.where(in_band & ~maskU, c, NEG_BIG)
+                sufU = jax.lax.cummax(cU, axis=0, reverse=True)
+                sufL = jax.lax.cummax(cL, axis=0, reverse=True)
+                maxL = jnp.max(cL)
+                pad = jnp.array([NEG_BIG], i32)
+                sufU_x = jnp.concatenate([sufU[1:], pad])
+                sufL_x = jnp.concatenate([sufL[1:], pad])
+                suf_excl = jnp.where(maskU, jnp.maximum(sufU_x, maxL),
+                                     sufL_x)
                 runbase = jnp.maximum(besta, suf_excl)
-                trigger = inb_pos & (cb_ > runbase)
-                new_besta = jnp.maximum(besta, jnp.max(cb_))
+                trigger = in_band & (c > runbase)
+                new_besta = jnp.maximum(
+                    besta, jnp.max(jnp.where(in_band, c, NEG_BIG)))
             else:
-                cb_ = jnp.where(inb_pos, band(c, INT32_MAX), INT32_MAX)
-                pre_incl = jax.lax.cummin(cb_, axis=0)
-                pre_excl = jnp.concatenate([jnp.array([INT32_MAX], i32),
-                                            pre_incl[:-1]])
+                cU = jnp.where(in_band & maskU, c, INT32_MAX)
+                cL = jnp.where(in_band & ~maskU, c, INT32_MAX)
+                preU = jax.lax.cummin(cU, axis=0)
+                preL = jax.lax.cummin(cL, axis=0)
+                minU = jnp.min(cU)
+                pad = jnp.array([INT32_MAX], i32)
+                preU_x = jnp.concatenate([pad, preU[:-1]])
+                preL_x = jnp.concatenate([pad, preL[:-1]])
+                pre_excl = jnp.where(maskU, preU_x,
+                                     jnp.minimum(preL_x, minU))
                 runbase = jnp.minimum(besta, pre_excl)
-                trigger = inb_pos & (cb_ < runbase)
-                new_besta = jnp.minimum(besta, jnp.min(cb_))
+                trigger = in_band & (c < runbase)
+                new_besta = jnp.minimum(
+                    besta, jnp.min(jnp.where(in_band, c, INT32_MAX)))
 
-            y_b = band(y, 0)
-            m_b = band(m, 0)
-            tlo_b = band(tlo, jnp.uint32(0))
-            ha_b = band(ha, 0)
-            hb_b = band(hb, 0)
-            dpos = jnp.arange(W, dtype=i32)
+            cb_, y_b, m_b, ha_b, hb_b, tlo_b = c, y, m, ha, hb, tlo
 
             i1 = (tlo_b & 0x7FFF).astype(jnp.int32)
             i2 = ((tlo_b >> 15) & 0x7FFF).astype(jnp.int32)
-            tbl_ok = (table[i1] >= 0) & (table[i2] + score[i1] >= 0)
+            if mscore or dscore:
+                # arithmetic trim tables: table[x] = total - max(0, maxpref),
+                # score[x] = total over the 15-column window (spec.py)
+                def tbl(x):
+                    cum = jnp.zeros_like(x)
+                    maxp = jnp.zeros_like(x)
+                    for ii in range(TRIM_LEN - 1, -1, -1):
+                        bit = (x >> ii) & 1
+                        cum = cum + jnp.where(bit == 1, mscore, -dscore)
+                        maxp = jnp.maximum(maxp, cum)
+                    return cum - maxp, cum
+                t1, s1 = tbl(i1)
+                t2, _ = tbl(i2)
+                tbl_ok = (t1 >= 0) & (t2 + s1 >= 0)
+            else:
+                tbl_ok = (table[i1] >= 0) & (table[i2] + score[i1] >= 0)
             m_ok = m_b >= PATH_AVE
 
             if not reverse:
-                sel_pos = lambda msk: jnp.min(jnp.where(msk, dpos, W))
-                chosen = lambda msk: sel_pos(msk)
+                chosen = lambda msk: jnp.min(jnp.where(msk, rel, W))
             else:
-                sel_pos = lambda msk: jnp.max(jnp.where(msk, dpos, -1))
-                chosen = lambda msk: sel_pos(msk)
+                chosen = lambda msk: jnp.max(jnp.where(msk, rel, -1))
 
-            p0 = chosen(trigger)
+            def pick_at(msk, arr):
+                oneh = msk & (rel == chosen(msk))
+                return jnp.sum(jnp.where(oneh, arr, 0))
+
             any0 = trigger.any()
-            p0c = jnp.clip(p0, 0, W - 1)
-            besty = jnp.where(any0, y_b[p0c], besty)
+            besty = jnp.where(any0, pick_at(trigger, y_b), besty)
             besta = new_besta
 
             trig_m = trigger & m_ok
-            p1 = chosen(trig_m)
             any1 = trig_m.any()
-            p1c = jnp.clip(p1, 0, W - 1)
-            lasta = jnp.where(any1, cb_[p1c], lasta)
+            lasta = jnp.where(any1, pick_at(trig_m, cb_), lasta)
 
             trig_t = trig_m & tbl_ok
-            p2 = chosen(trig_t)
             any2 = trig_t.any()
-            p2c = jnp.clip(p2, 0, W - 1)
-            trima = jnp.where(any2, cb_[p2c], trima)
-            trimy = jnp.where(any2, y_b[p2c], trimy)
+            trima = jnp.where(any2, pick_at(trig_t, cb_), trima)
+            trimy = jnp.where(any2, pick_at(trig_t, y_b), trimy)
             trimd = jnp.where(any2, dif, trimd)
-            trimha = jnp.where(any2, ha_b[p2c], trimha)
-            trimhb = jnp.where(any2, hb_b[p2c], trimhb)
+            trimha = jnp.where(any2, pick_at(trig_t, ha_b), trimha)
+            trimhb = jnp.where(any2, pick_at(trig_t, hb_b), trimhb)
 
             # store band state
             V = jnp.where(in_band, c, V)
@@ -479,22 +568,24 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool):
             M = jnp.where(in_band, m, M)
             HA = jnp.where(in_band, ha, HA)
             HB = jnp.where(in_band, hb, HB)
+            MA = jnp.where(in_band, ma, MA)
+            MB = jnp.where(in_band, mb, MB)
 
             # clip block
             (more, low, hgh, morem, morea, morey, mored, moreha, morehb) = \
                 clip_block(more, low, hgh, aclip, bclip, besta, besty, V, M,
-                           HA, HB, morem, morea, morey, mored, moreha,
+                           HA, HB, k, morem, morea, morey, mored, moreha,
                            morehb, dif, set_mored=True)
 
-            # band prune (align.c:877-885)
+            # band prune (align.c:877-885); `rel` (position of each slot
+            # relative to the pre-clip low) replaces the rotated-okpos scan
             k2 = low + jnp.remainder(slots - low, W)
             inb2 = k2 <= hgh
             if not reverse:
                 ok = inb2 & (V >= besta - WAVE_LAG)
             else:
                 ok = inb2 & (V <= besta + WAVE_LAG)
-            okpos = jnp.where(jnp.roll(ok, roll_amt) &
-                              (slots <= hgh - low), slots, -1)
+            okpos = jnp.where(ok & (rel <= hgh - low), rel, -1)
             hi_rel = jnp.max(okpos)
             lo_rel = jnp.min(jnp.where(okpos >= 0, okpos, W))
             have = hi_rel >= 0
@@ -504,17 +595,17 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool):
             return (V, Thi, Tlo, M, NA, NB, HA, HB, pool, avail, low, hgh,
                     dif, more, besta, besty, lasta, trima, trimy, trimd,
                     trimha, trimhb, morem, morea, morey, mored, moreha,
-                    morehb, overflow)
+                    morehb, overflow, MA, MB)
 
         st = jax.lax.while_loop(cond, body, state)
         (V, Thi, Tlo, M, NA, NB, HA, HB, pool, avail, low, hgh, dif, more,
          besta, besty, lasta, trima, trimy, trimd, trimha, trimhb, morem,
-         morea, morey, mored, moreha, morehb, overflow) = st
+         morea, morey, mored, moreha, morehb, overflow, MA, MB) = st
 
         out = dict(trima=trima, trimy=trimy, trimd=trimd, trimha=trimha,
                    trimhb=trimhb, morem=morem, morea=morea, morey=morey,
                    mored=mored, moreha=moreha, morehb=morehb, pool=pool,
-                   avail=avail, overflow=overflow)
+                   avail=avail, overflow=overflow, waves=dif)
         if _DEBUG_STOP is not None:
             out.update(V=V, M=M, Thi=Thi, Tlo=Tlo, low=low, hgh=hgh,
                        besta=besta, lasta=lasta)
@@ -534,9 +625,11 @@ class WaveEngine:
         self.table = jnp.asarray(spec.table, jnp.int16).astype(jnp.int32)
         self.score = jnp.asarray(spec.score, jnp.int16).astype(jnp.int32)
         fwd = _mk_kernel(band_cap, pool_cap, spec.trace_space, spec.ave_path,
-                         reverse=False)
+                         reverse=False, mscore=spec.mscore,
+                         dscore=spec.dscore)
         rev = _mk_kernel(band_cap, pool_cap, spec.trace_space, spec.ave_path,
-                         reverse=True)
+                         reverse=True, mscore=spec.mscore,
+                         dscore=spec.dscore)
         vm = functools.partial(jax.vmap,
                                in_axes=(0, 0, 0, 0, 0, 0, None, None,
                                         None, None))

@@ -27,6 +27,18 @@ from ..ops.spec import new_align_spec
 from .reporter import Reporter
 
 
+def _auto_backend() -> str:
+    """Pick the wave backend: the batched device engine when an accelerator
+    is attached, the host oracle otherwise.  Override with DAMAPPER_WAVE."""
+    try:
+        import jax
+        if jax.devices()[0].platform != "cpu":
+            return "jax"
+    except Exception:
+        pass
+    return "oracle"
+
+
 def _physical_memory() -> int:
     try:
         return os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
@@ -56,7 +68,7 @@ class DamapperConfig:
     def __init__(self, kmer=20, suppress=0, mem_limit=None, ave_error=.85,
                  spacing=100, best_tie=1.0, masks=(), verbose=False,
                  profile=False, do_a=True, do_b=False, map_order=True,
-                 wave_backend="oracle"):
+                 wave_backend=None):
         self.kmer = kmer
         self.suppress = suppress
         self.mem_limit = _physical_memory() if mem_limit is None else mem_limit
@@ -69,6 +81,8 @@ class DamapperConfig:
         self.do_a = do_a
         self.do_b = do_b
         self.map_order = map_order
+        if wave_backend is None:
+            wave_backend = os.environ.get("DAMAPPER_WAVE") or _auto_backend()
         self.wave_backend = wave_backend
 
 
