@@ -65,24 +65,36 @@ class _NPWaves:
     coordinates.
     """
 
-    def __init__(self, dmax: int):
+    def __init__(self, dmax: int, delta: int = 0):
+        # diagonals span [min(delta,0)-1, max(delta,0)+1] initially and can
+        # widen to +-dmax; the reference sizes its rows trace_spacing+nmax+3
+        # wide which covers both (align.c:5210)
         self.dmax = dmax
-        span = 2 * dmax + 3
-        self.koff = dmax + 1          # k = -dmax-1 .. dmax+1
+        reach = max(dmax, abs(delta)) + 1
+        span = 2 * reach + 1
+        self.koff = reach             # k = -reach .. reach
         self.V = np.zeros((dmax + 3, span), np.int32)
         self.H = np.zeros((dmax + 3, span), np.int32)
 
+    def _ix(self, D, k):
+        kx = k + self.koff
+        if not (0 <= D + 2 < self.V.shape[0] and 0 <= kx < self.V.shape[1]):
+            # walked outside the wave stacks: the stored trace points do not
+            # describe a real alignment of these sequences
+            raise TraceError(TP_ALIGN)
+        return D + 2, kx
+
     def v(self, D, k):
-        return int(self.V[D + 2, k + self.koff])
+        return int(self.V[self._ix(D, k)])
 
     def setv(self, D, k, x):
-        self.V[D + 2, k + self.koff] = x
+        self.V[self._ix(D, k)] = x
 
     def h(self, D, k):
-        return int(self.H[D + 2, k + self.koff])
+        return int(self.H[self._ix(D, k)])
 
     def seth(self, D, k, x):
-        self.H[D + 2, k + self.koff] = x
+        self.H[self._ix(D, k)] = x
 
 
 def _np_forward(A, M, B, N, w: _NPWaves, dmax, posl, posh):
@@ -261,7 +273,7 @@ def iter_np(A, B, aoff: int, boff: int, mode: int, dmax: int, out: list,
         posl = -dmax
     if posh is None:
         posh = dmax
-    w = _NPWaves(dmax)
+    w = _NPWaves(dmax, delta)
     D = _np_forward(A, M, B, N, w, dmax, posl, posh)
     Dtotal = D + abs(delta)
 
@@ -300,7 +312,7 @@ def middle_np(A, B, aoff: int, boff: int, mode: int, dmax: int,
         posl = -dmax
     if posh is None:
         posh = dmax
-    w = _NPWaves(dmax)
+    w = _NPWaves(dmax, delta)
     D = _np_forward(A, M, B, N, w, dmax, posl, posh)
     d = D + abs(delta)
     D, k = _walk_back(A, B, w, D, delta, N, mode, half=d - d // 2)

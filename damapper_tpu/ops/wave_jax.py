@@ -98,11 +98,72 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool,
 
         i32 = jnp.int32
         slots = jnp.arange(W, dtype=i32)
-        # snake step-window width: one (.., SS) gather per trip instead of
-        # SS single-base gathers (TPU gathers cost ~50us in-loop regardless
-        # of row count)
+        # snake step-window width (wave-0 walks SS bases per gathered window;
+        # the main-loop snake reads match PLANES instead, see _reload below)
         SS = 16
         stepv = jnp.arange(SS, dtype=i32) * sgn
+
+        # --- carried sequence windows as match code planes -------------
+        # The main loop's snake never touches Aflat/Bflat directly: per
+        # ~W waves a contiguous window of each sequence is sliced out
+        # (cheap: one 64-row gather per batch under vmap) and expanded
+        # into int32 CODE planes indexed by (band slot, window column):
+        #   code[s, j] = (j << 2) | (Bchar==4) << 1 | (Achar==4)
+        #                 at columns where the snake stops (B sentinel or
+        #                 mismatch), BIGC elsewhere
+        # for the slot's two possible diagonal-to-window offsets (N/W
+        # variants: slot s always holds diagonals == s mod W).  A wave's
+        # snake is then ONE masked min-reduction per slot: the minimum code
+        # at columns >= o yields both the run length and the stop cause.
+        # For the reverse kernel the windows are flipped so columns still
+        # advance with the walk.
+        BW = 256                      # window columns
+        AW = BW + 2 * W               # A window spans both offset variants
+        LB = Bflat.shape[0]
+        LA = Aflat.shape[0]
+        jidx = jnp.arange(BW, dtype=i32)
+        BIGC = i32(1 << 30)
+
+        def _reload(yref, low, hgh, anyact):
+            """(Re)anchor the windows and rebuild the code planes.
+            Returns (codeN, codeW, banchor, kanchor, bad)."""
+            if not reverse:
+                banchor = bbase + (yref - 4) + soff
+                kanchor = W * (low // W)      # jnp // floors toward -inf
+                astart = banchor + (abase - bbase) + kanchor
+                bs = jnp.clip(banchor, 0, LB - BW)
+                as_ = jnp.clip(astart, 0, LA - AW)
+                bad = anyact & ((bs != banchor) | (as_ != astart))
+                bwin = jax.lax.dynamic_slice(Bflat, (bs,), (BW,))
+                awin = jax.lax.dynamic_slice(Aflat, (as_,), (AW,))
+                banchor = bs
+                offs = list(range(W))
+            else:
+                banchor = bbase + (yref + 4) + soff   # top column (j = 0)
+                kanchor = W * ((hgh + W) // W)        # W*(floor(hgh/W)+1)
+                atop = banchor + (abase - bbase) + kanchor
+                bs = jnp.clip(banchor - (BW - 1), 0, LB - BW)
+                as_ = jnp.clip(atop - (AW - 1), 0, LA - AW)
+                bad = anyact & ((bs != banchor - (BW - 1)) |
+                                (as_ != atop - (AW - 1)))
+                banchor = bs + (BW - 1)
+                bwin = jnp.flip(jax.lax.dynamic_slice(Bflat, (bs,), (BW,)))
+                awin = jnp.flip(jax.lax.dynamic_slice(Aflat, (as_,), (AW,)))
+                # reverse offset variant for slot s: (kanchor - k) with
+                # k == s (mod W) -> W - s (W for s == 0), or that + W
+                offs = [W if s == 0 else W - s for s in range(W)]
+            aw2 = jnp.stack([awin[o:o + BW + W] for o in offs])  # (W, BW+W)
+            awN = aw2[:, :BW]
+            awW = aw2[:, W:W + BW]
+            b4 = (bwin == 4)[None, :]
+
+            def code(aw):
+                stop = b4 | (bwin[None, :] != aw)
+                val = ((jidx[None, :] << 2) | (b4.astype(i32) << 1) |
+                       (aw == 4).astype(i32))
+                return jnp.where(stop, val, BIGC)
+
+            return (code(awN), code(awW), banchor, kanchor, bad)
 
         # ---------------- wave 0: single diagonal k0 ----------------
         y0 = jnp.right_shift(mida - k0, 1)
@@ -200,6 +261,12 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool,
         MA = jnp.zeros(W, i32).at[k0 & Wm].set(amk0)
         MB = jnp.zeros(W, i32).at[k0 & Wm].set(bmk0)
 
+        # match-plane state: invalid anchors force a reload on wave 1
+        codeN = jnp.zeros((W, BW), i32)
+        codeW = jnp.zeros((W, BW), i32)
+        banchor = i32(-(1 << 30))
+        kanchor = i32(-(1 << 30))
+
         low = k0
         hgh = k0
         morem = i32(-1)
@@ -267,13 +334,13 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool,
         state = (V, Thi, Tlo, M, NA, NB, HA, HB, pool, avail, low, hgh,
                  i32(0), more, besta, besty, lasta, trima, trimy, trimd,
                  trimha, trimhb, morem, morea, morey, mored, moreha, morehb,
-                 overflow, MA, MB)
+                 overflow, MA, MB, codeN, codeW, banchor, kanchor)
 
         def cond(st):
             (V, Thi, Tlo, M, NA, NB, HA, HB, pool, avail, low, hgh, dif,
              more, besta, besty, lasta, trima, trimy, trimd, trimha, trimhb,
              morem, morea, morey, mored, moreha, morehb, overflow,
-             MA, MB) = st
+             MA, MB, codeN, codeW, banchor, kanchor) = st
             if reverse:
                 go = lasta <= besta + TRIM_MLAG
             else:
@@ -286,7 +353,7 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool,
             (V, Thi, Tlo, M, NA, NB, HA, HB, pool, avail, low, hgh, dif,
              more, besta, besty, lasta, trima, trimy, trimd, trimha, trimhb,
              morem, morea, morey, mored, moreha, morehb, overflow,
-             MA, MB) = st
+             MA, MB, codeN, codeW, banchor, kanchor) = st
 
             # own-lane liveness (same predicate as `cond`): under vmap the
             # batched while re-executes this body for lanes that already
@@ -362,28 +429,80 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool,
 
             y = jnp.right_shift(c - k, 1)
 
-            # snake, vectorized over diagonals AND over SS steps per trip
+            # snake: run lengths come from the carried match planes; the
+            # only sequence access is the (rare) window reload, wrapped in
+            # a 0/1-trip while so it costs nothing when anchors are valid
+            if not reverse:
+                offN_vec = slots
+            else:
+                offN_vec = jnp.asarray(
+                    [W if s == 0 else W - s for s in range(W)], i32)
+
+            def sn_state_o(y, banchor):
+                if not reverse:
+                    return (bbase + y + soff) - banchor
+                return banchor - (bbase + y + soff)
+
+            def sn_invalid(y, act, banchor, kanchor):
+                o = sn_state_o(y, banchor)
+                off = (k - kanchor) if not reverse else (kanchor - k)
+                wrap = off == offN_vec + W
+                valid_off = (off == offN_vec) | wrap
+                inv = act & (~valid_off | (o < 0) | (o > BW - SS))
+                return o, wrap, valid_off, inv
+
             def sn_cond(sst):
-                y, thi, tlo, m, act, ca, cb = sst
-                return act.any()
+                return sst[4].any()     # act
 
             def sn_body(sst):
-                y, thi, tlo, m, act, ca, cb = sst
-                bix = (bbase + y + soff)[:, None] + stepv[None, :]
-                aix = (abase + y + k + soff)[:, None] + stepv[None, :]
-                bwin = Bflat[jnp.clip(bix, 0, Bflat.shape[0] - 1)]
-                awin = Aflat[jnp.clip(aix, 0, Aflat.shape[0] - 1)]
-                sbv = bwin == 4
-                misv = bwin != awin
-                advv = ((~sbv) & (~misv)).astype(i32)       # (W, SS)
-                pref = jnp.cumprod(advv, axis=1)            # leading-run mask
-                nst = jnp.where(act, pref.sum(axis=1), 0)   # advance length
-                # one-hot of the stop position (all-zero when nst == SS)
-                prefx = jnp.concatenate(
-                    [jnp.ones((W, 1), i32), pref[:, :-1]], axis=1)
-                fs = (prefx * (1 - advv)).astype(bool)
-                sb = act & (fs & sbv).any(axis=1)
-                sa = act & (fs & (~sbv) & misv & (awin == 4)).any(axis=1)
+                (y, thi, tlo, m, act, ca, cb, codeN, codeW,
+                 banchor, kanchor, ovf) = sst
+
+                # reload windows/planes only when an active slot left them
+                o, wrap, valid_off, inv = sn_invalid(y, act, banchor,
+                                                     kanchor)
+
+                def r_cond(rst):
+                    return ~rst[0] & inv.any()
+
+                def r_body(rst):
+                    _, codeN, codeW, banchor, kanchor, ovf = rst
+                    big = INT32_MAX if not reverse else -INT32_MAX
+                    if not reverse:
+                        yref = jnp.min(jnp.where(act, y, big))
+                    else:
+                        yref = jnp.max(jnp.where(act, y, big))
+                    codeN, codeW, banchor, kanchor, bad = \
+                        _reload(yref, low, hgh, act.any())
+                    return (jnp.bool_(True), codeN, codeW,
+                            banchor, kanchor, ovf | bad)
+
+                (_, codeN, codeW, banchor, kanchor, ovf) = \
+                    jax.lax.while_loop(
+                        r_cond, r_body,
+                        (jnp.bool_(False), codeN, codeW,
+                         banchor, kanchor, ovf))
+                o, wrap, valid_off, inv = sn_invalid(y, act, banchor,
+                                                     kanchor)
+                usable = act & ~inv     # still-invalid slots defer a trip
+
+                # ONE masked min-reduction gives the first stop column >= o
+                # and its stop cause (bits 1:0 of the code)
+                oc = jnp.clip(o, 0, BW - 1)
+                jm = jidx[None, :] >= oc[:, None]
+                csel = jnp.where(wrap[:, None], codeW, codeN)
+                r = jnp.min(jnp.where(jm, csel, BIGC), axis=1)
+                found = r < BIGC
+                jstar = jnp.where(found, r >> 2, BW)
+                run = jstar - oc
+                nst = jnp.where(usable, jnp.minimum(run, SS), 0)
+                adv_done = usable & (run <= SS) & found
+
+                sbv = ((r >> 1) & 1) == 1
+                a4s = (r & 1) == 1
+                sb = adv_done & sbv
+                sa = adv_done & ~sbv & a4s
+
                 # batch-update the 61-bit path vector: append nst match bits;
                 # the match count loses the bits shifted out of the window
                 nu = nst.astype(jnp.uint32)
@@ -393,24 +512,20 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool,
                         jnp.where(nst == 0, jnp.uint32(0),
                                   tlo >> (32 - nu))) & THI_MASK
                 ntlo = (tlo << nu) | ((jnp.uint32(1) << nu) - 1)
-                m = jnp.where(act, m + nst - pops, m)
-                thi = jnp.where(act, nthi, thi)
-                tlo = jnp.where(act, ntlo, tlo)
-                y = jnp.where(act, y + sgn * nst, y)
-                act = act & (nst == SS)
-                return (y, thi, tlo, m, act, ca | sa, cb | sb)
+                m = jnp.where(usable, m + nst - pops, m)
+                thi = jnp.where(usable, nthi, thi)
+                tlo = jnp.where(usable, ntlo, tlo)
+                y = jnp.where(usable, y + sgn * nst, y)
+                act = act & ~adv_done
+                return (y, thi, tlo, m, act, ca | sa, cb | sb, codeN,
+                        codeW, banchor, kanchor, ovf)
 
             false_w = jnp.zeros(W, bool)
-            if _DBG:
-                def sn_body_dbg(sst):
-                    out = sn_body(sst)
-                    jax.debug.print("  snake act={a}", a=out[4].sum())
-                    return out
-            else:
-                sn_body_dbg = sn_body
-            y, thi, tlo, m, _, clipA, clipB = jax.lax.while_loop(
-                sn_cond, sn_body_dbg, (y, thi, tlo, m, in_band & live,
-                                       false_w, false_w))
+            (y, thi, tlo, m, _, clipA, clipB, codeN, codeW,
+             banchor, kanchor, overflow) = jax.lax.while_loop(
+                sn_cond, sn_body,
+                (y, thi, tlo, m, in_band & live, false_w, false_w,
+                 codeN, codeW, banchor, kanchor, overflow))
             c = (y << 1) + k
 
             clip_any = (clipA | clipB).any()
@@ -426,50 +541,52 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool,
             # head cell's mark rides along in ma/mb so no pool read is
             # needed; the check pool[H].mark </> N suppresses duplicate
             # drops on the same trace line after a pick3 inheritance.
-            def mk_drop(get_x):
-                inb = in_band & live
+            # A and B sides share ONE loop (stacked on a leading axis of
+            # 2), and scatter indices are made globally unique so XLA can
+            # use the fast unique-indices scatter lowering.
+            inb = in_band & live
+            X2 = jnp.stack([y + k, y])                 # (2, W)
+            N2 = jnp.stack([NA, NB])
+            H2 = jnp.stack([ha, hb])
+            MK2 = jnp.stack([ma, mb])
+            slot2 = jnp.arange(2 * W, dtype=i32)
 
-                def dcond(dst):
-                    N, H, MK, av, pl, ov = dst
-                    if reverse:
-                        return (inb & (get_x() <= N)).any()
-                    return (inb & (get_x() >= N)).any()
+            def dcond(dst):
+                N2, H2, MK2, av, pl, ov = dst
+                if reverse:
+                    return (inb[None, :] & (X2 <= N2)).any()
+                return (inb[None, :] & (X2 >= N2)).any()
 
-                def dbody(dst):
-                    N, H, MK, av, pl, ov = dst
-                    if reverse:
-                        act = inb & (get_x() <= N)
-                        need = act & (MK > N)
-                    else:
-                        act = inb & (get_x() >= N)
-                        need = act & (MK < N)
-                    cs = jnp.cumsum(need.astype(i32))
-                    idx = av + cs - 1
-                    widx = jnp.where(need, idx, P)
-                    rows = jnp.stack([H, k, jnp.full(W, dif), N], axis=1)
-                    pl = pl.at[widx].set(rows, mode="drop")
-                    H = jnp.where(need, idx, H)
-                    MK = jnp.where(need, N, MK)
-                    nav = av + cs[-1]
-                    ov = ov | (nav >= P)
-                    N = jnp.where(act, N - TS if reverse else N + TS, N)
-                    return (N, H, MK, jnp.minimum(nav, P), pl, ov)
-                return dcond, dbody
+            def dbody(dst):
+                N2, H2, MK2, av, pl, ov = dst
+                if reverse:
+                    act = inb[None, :] & (X2 <= N2)
+                    need = act & (MK2 > N2)
+                else:
+                    act = inb[None, :] & (X2 >= N2)
+                    need = act & (MK2 < N2)
+                nf = need.reshape(-1)
+                cs = jnp.cumsum(nf.astype(i32))
+                idx = av + cs - 1
+                widx = jnp.where(nf, idx, P + slot2)   # unique also when
+                rows = jnp.stack([H2.reshape(-1),      # dropped (OOB)
+                                  jnp.concatenate([k, k]),
+                                  jnp.full(2 * W, dif),
+                                  N2.reshape(-1)], axis=1)
+                pl = pl.at[widx].set(rows, mode="drop", unique_indices=True)
+                idx2 = idx.reshape(2, W)
+                H2 = jnp.where(need, idx2, H2)
+                MK2 = jnp.where(need, N2, MK2)
+                nav = av + cs[-1]
+                ov = ov | (nav >= P)
+                N2 = jnp.where(act, N2 - TS if reverse else N2 + TS, N2)
+                return (N2, H2, MK2, jnp.minimum(nav, P), pl, ov)
 
-            def dbg_wrap(db, tag):
-                if not _DBG:
-                    return db
-                def w(dst):
-                    out = db(dst)
-                    jax.debug.print("  drop {t} avail={a}", t=tag, a=out[3])
-                    return out
-                return w
-            dc, db = mk_drop(lambda: y + k)
-            NA, ha, ma, avail, pool, overflow = jax.lax.while_loop(
-                dc, dbg_wrap(db, 0), (NA, ha, ma, avail, pool, overflow))
-            dc, db = mk_drop(lambda: y)
-            NB, hb, mb, avail, pool, overflow = jax.lax.while_loop(
-                dc, dbg_wrap(db, 1), (NB, hb, mb, avail, pool, overflow))
+            N2, H2, MK2, avail, pool, overflow = jax.lax.while_loop(
+                dcond, dbody, (N2, H2, MK2, avail, pool, overflow))
+            NA, NB = N2[0], N2[1]
+            ha, hb = H2[0], H2[1]
+            ma, mb = MK2[0], MK2[1]
 
             # best/trim updates with the reference's sequential-order
             # semantics (hgh->low for forward, low->hgh for reverse).
@@ -595,12 +712,14 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool,
             return (V, Thi, Tlo, M, NA, NB, HA, HB, pool, avail, low, hgh,
                     dif, more, besta, besty, lasta, trima, trimy, trimd,
                     trimha, trimhb, morem, morea, morey, mored, moreha,
-                    morehb, overflow, MA, MB)
+                    morehb, overflow, MA, MB, codeN, codeW,
+                    banchor, kanchor)
 
         st = jax.lax.while_loop(cond, body, state)
         (V, Thi, Tlo, M, NA, NB, HA, HB, pool, avail, low, hgh, dif, more,
          besta, besty, lasta, trima, trimy, trimd, trimha, trimhb, morem,
-         morea, morey, mored, moreha, morehb, overflow, MA, MB) = st
+         morea, morey, mored, moreha, morehb, overflow, MA, MB,
+         codeN, codeW, banchor, kanchor) = st
 
         out = dict(trima=trima, trimy=trimy, trimd=trimd, trimha=trimha,
                    trimhb=trimhb, morem=morem, morea=morea, morey=morey,
@@ -638,25 +757,42 @@ class WaveEngine:
         self.n_fallback = 0
         self.n_total = 0
 
+    # fixed bucket size: every call pads/chunks to this many lanes, so each
+    # direction compiles exactly once (compiles are 20-60s on the axon TPU
+    # and there is no persistent cache there)
+    BUCKET = int(os.environ.get("DAMAPPER_WAVE_BUCKET", 256))
+
     def _run(self, which, abase, bbase, mida, k0, aoffp, boffp,
              Aflat, Bflat) -> WaveResult:
         fn = self._fwd if which == "fwd" else self._rev
-        # pad the batch to a power-of-two bucket so XLA compiles once per
-        # bucket instead of once per batch size (pad lanes repeat lane 0 and
-        # are discarded by the caller)
         n = len(abase)
-        cap = max(8, 1 << (n - 1).bit_length())
-
-        def pad(x):
-            x = np.asarray(x, np.int32)
-            if len(x) == cap:
-                return jnp.asarray(x)
-            return jnp.asarray(np.concatenate(
-                [x, np.repeat(x[:1], cap - len(x))]))
-
-        out = fn(pad(abase), pad(bbase), pad(mida), pad(k0), pad(aoffp),
-                 pad(boffp), Aflat, Bflat, self.table, self.score)
-        return WaveResult(**{f: np.asarray(v)[:n] for f, v in out.items()})
+        if n == 0:
+            z = np.zeros(0, np.int32)
+            return WaveResult(*([z] * 11),
+                              np.zeros((0, self.P, 4), np.int32),
+                              z, np.zeros(0, bool), z)
+        # bucket = next power of two, capped at BUCKET; larger batches are
+        # chunked.  Bounds the number of distinct compiled shapes while
+        # keeping small batches cheap.
+        B = min(self.BUCKET, max(8, 1 << (n - 1).bit_length()))
+        args = [np.asarray(x, np.int32)
+                for x in (abase, bbase, mida, k0, aoffp, boffp)]
+        chunks = []
+        for st in range(0, n, B):
+            en = min(st + B, n)
+            def pad(x):
+                x = x[st:en]
+                if len(x) == B:
+                    return jnp.asarray(x)
+                return jnp.asarray(np.concatenate(
+                    [x, np.repeat(x[:1], B - len(x))]))
+            out = fn(*[pad(x) for x in args], Aflat, Bflat,
+                     self.table, self.score)
+            chunks.append({f: np.asarray(v)[:en - st]
+                           for f, v in out.items()})
+        merged = {f: np.concatenate([c[f] for c in chunks])
+                  for f in chunks[0]}
+        return WaveResult(**merged)
 
     # ---- full Local_Alignment over a batch of seeds ----
 

@@ -19,3 +19,46 @@ import pathlib  # noqa: E402
 import sys  # noqa: E402
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def golden_small(tmp_path_factory):
+    """Small mapped dataset: (reads_db, ref_db, las_records, tspace) with
+    sequences loaded, for consumer-side (trace/display) tests."""
+    from damapper_tpu.io import db as dbio
+    from damapper_tpu.io import fasta
+    from damapper_tpu.io import las as lasio
+    from damapper_tpu.pipeline.mapper import DamapperConfig, run_damapper
+    from tests import helpers
+
+    tmp = tmp_path_factory.mktemp("golden_small")
+    rng = np.random.default_rng(11)
+    glen, ncontigs, nreads = 60_000, 2, 12
+    genome = helpers.sim_genome(rng, glen)
+    clen = glen // ncontigs
+    entries = [fasta.FastaEntry(f"ctg{i}", genome[i * clen:(i + 1) * clen])
+               for i in range(ncontigs)]
+    reads = []
+    for _ in range(nreads):
+        ci = int(rng.integers(0, ncontigs))
+        r, *_ = helpers.sim_read(rng, entries[ci].seq,
+                                 min_len=2000, max_len=6000)
+        reads.append(r)
+    dbio.create_dam(str(tmp / "ref.dam"), entries, bsize=70_000)
+    dbio.create_db(str(tmp / "reads.db"),
+                   [fasta.FastaEntry(f"r{i}", r) for i, r in enumerate(reads)])
+    cfg = DamapperConfig(wave_backend="oracle")
+    a_path, _ = run_damapper(str(tmp / "ref.dam"), str(tmp / "reads.db"),
+                             cfg, out_dir=str(tmp))
+    recs, tspace = lasio.read_las(a_path)
+    reads_db = dbio.DazzDB.open(str(tmp / "reads.db"))
+    reads_db.trim()
+    reads_db.load_bases()
+    ref_db = dbio.DazzDB.open(str(tmp / "ref.dam"))
+    ref_db.trim()
+    ref_db.load_bases()
+    return reads_db, ref_db, recs, tspace
