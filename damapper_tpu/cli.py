@@ -5,6 +5,7 @@
     python -m damapper_tpu.cli lacat     [...]   — concatenate .las (LAcat equivalent)
     python -m damapper_tpu.cli lamerge   [...]   — merge sorted .las (LAmerge equivalent)
     python -m damapper_tpu.cli lacheck   [...]   — validate .las (LAcheck equivalent)
+    python -m damapper_tpu.cli lashow    [...]   — view .las records/alignments (LAshow equivalent)
     python -m damapper_tpu.cli fasta2dam [...]   — import a fasta as a .dam
     python -m damapper_tpu.cli fasta2db  [...]   — import a fasta as a .db
     python -m damapper_tpu.cli plan      [...]   — emit an execution plan (HPC.damapper equivalent)
@@ -142,6 +143,9 @@ def main(argv=None) -> int:
     if cmd == "plan":
         from .parallel.plan import main_plan
         return main_plan(rest)
+    if cmd == "lashow":
+        from .io.display import main_lashow
+        return main_lashow(rest)
     table = {
         "lasort": _main_lasort,
         "lacat": _main_lacat,
