@@ -552,3 +552,90 @@ def _write_db_files(pwd, root, ext, reads, seqs, bps, bsize, cutoff, all_wells,
         fp.write(reads.tobytes())
     with open(os.path.join(pwd, "." + root + ".bps"), "wb") as fp:
         fp.write(bps)
+
+
+# --- Arrow pseudo-track (DB.c:1458-1647) -------------------------------------
+
+_NUM_PW = np.frombuffer(b"1234", dtype=np.uint8)
+_PW_NUM = np.zeros(256, dtype=np.uint8)
+for _i, _cs in enumerate(b"1234"):
+    _PW_NUM[_cs] = _i
+
+
+def letter_arrow(arr: np.ndarray) -> str:
+    """Numeric pulse widths 0-3 -> '1'..'4' (Letter_Arrow DB.h:266)."""
+    return _NUM_PW[arr].tobytes().decode()
+
+
+def number_arrow(s: str | bytes) -> np.ndarray:
+    if isinstance(s, str):
+        s = s.encode()
+    return _PW_NUM[np.frombuffer(s, np.uint8)].copy()
+
+
+def write_arrow(path: str, pulses) -> None:
+    """Write the hidden .arw companion (2-bit compressed pulse-width streams
+    at the same offsets as .bps) and flag the DB as an Arrow DB
+    (fasta2DB -arrow equivalent for this framework's writer)."""
+    pwd, root, _ = _split_db_path(path)
+    root, _ = _strip_part(root)
+    idxp = os.path.join(pwd, "." + root + ".idx")
+    with open(idxp, "rb") as fp:
+        raw = bytearray(fp.read())
+    hdr = np.frombuffer(bytes(raw[:HEADER_DTYPE.itemsize]), HEADER_DTYPE)[0].copy()
+    reads = np.frombuffer(bytes(raw[HEADER_DTYPE.itemsize:]), READ_DTYPE).copy()
+    if len(pulses) != len(reads):
+        raise ValueError(f"{len(pulses)} arrow streams for {len(reads)} reads")
+    with open(os.path.join(pwd, "." + root + ".arw"), "wb") as fp:
+        for rec, pw in zip(reads, pulses):
+            pw = np.asarray(pw, np.uint8)
+            if len(pw) != int(rec["rlen"]):
+                raise ValueError("arrow stream length != read length")
+            if fp.tell() != int(rec["boff"]):
+                raise ValueError("arrow offsets out of sync with .bps")
+            fp.write(compress_bases(pw))
+    hdr["allarr"] = int(hdr["allarr"]) | DB_ARROW
+    with open(idxp, "wb") as fp:
+        fp.write(hdr.tobytes())
+        fp.write(reads.tobytes())
+
+
+class ArrowTrack:
+    """Open .arw handle + per-read offsets (DAZZ_ARROW DB.h:360-366)."""
+
+    def __init__(self, fp, aoff, rlens):
+        self.fp = fp
+        self.aoff = aoff
+        self.rlens = rlens
+
+    def load(self, i: int, ascii: bool = False):
+        """Load_Arrow (DB.c:1508)."""
+        self.fp.seek(int(self.aoff[i]))
+        ln = int(self.rlens[i])
+        buf = self.fp.read((ln + 3) >> 2)
+        arr = uncompress_bases(buf, ln)
+        return letter_arrow(arr) if ascii else arr
+
+    def close(self):
+        self.fp.close()
+
+
+def open_arrow(db: "DazzDB") -> ArrowTrack:
+    """Open the DB's .arw (Open_Arrow DB.c:1458).  Must be called before
+    trimming, like the reference."""
+    if not (db.allarr & DB_ARROW):
+        raise ValueError("The DB is not an Arrow database (Open_Arrow)")
+    if db.trimmed:
+        raise ValueError("Cannot open Arrow vectors after trimming the DB")
+    # db.path already carries the hidden-file prefix (pwd/.root, DB.c:735)
+    fp = open(db.path + ".arw", "rb")
+    return ArrowTrack(fp, db.reads["boff"].copy(), db.reads["rlen"].copy())
+
+
+def load_all_arrows(db: "DazzDB") -> list[np.ndarray]:
+    """Load_All_Arrows (DB.c:1556)."""
+    tr = open_arrow(db)
+    try:
+        return [tr.load(i) for i in range(db.nreads)]
+    finally:
+        tr.close()

@@ -117,3 +117,44 @@ def test_reference_binary_accepts_our_db(tmp_path):
     # most reads should be mapped
     mapped = {o.aread for o in recs}
     assert len(mapped) >= 15
+
+
+def test_arrow_pseudo_track(tmp_path):
+    """Round-trip the .arw pulse-width companion (Open/Load_Arrow
+    DB.c:1458-1647)."""
+    import numpy as np
+    import pytest
+    from damapper_tpu.io import db as dbio
+    from damapper_tpu.io import fasta
+
+    rng = np.random.default_rng(9)
+    entries = []
+    pulses = []
+    for i in range(5):
+        n = int(rng.integers(50, 300))
+        entries.append(fasta.FastaEntry(
+            f"r{i}", "".join("ACGT"[c] for c in rng.integers(0, 4, n))))
+        pulses.append(rng.integers(0, 4, n).astype(np.uint8))
+    path = str(tmp_path / "reads.db")
+    dbio.create_db(path, entries)
+    dbio.write_arrow(path, pulses)
+
+    db = dbio.DazzDB.open(path)
+    assert db.allarr & dbio.DB_ARROW
+    tr = dbio.open_arrow(db)
+    for i, pw in enumerate(pulses):
+        got = tr.load(i)
+        assert np.array_equal(got, pw)
+        s = tr.load(i, ascii=True)
+        assert s == dbio.letter_arrow(pw)
+    tr.close()
+
+    allp = dbio.load_all_arrows(db)
+    for got, pw in zip(allp, pulses):
+        assert np.array_equal(got, pw)
+
+    # the reference refuses arrow access after trimming (NB: trim() is a
+    # no-op for cutoff<=0 all-wells DBs, Trim_DB DB.c:916, so force it)
+    db.trimmed = True
+    with pytest.raises(ValueError):
+        dbio.open_arrow(db)
