@@ -734,13 +734,21 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool,
 
 
 class WaveEngine:
-    """Batched device Local_Alignment with host oracle fallback."""
+    """Batched device Local_Alignment with host oracle fallback.
+
+    With ``mesh`` the lane batch is sharded over the mesh's "dp" axis
+    (NamedSharding via GSPMD): every wave op is elementwise over lanes, so
+    the kernel partitions across chips with no collectives — the multi-chip
+    analog of the reference's per-thread a-read ranges (map.c:3145-3157).
+    Sequence memory and the spec tables are replicated.
+    """
 
     def __init__(self, spec: AlignSpec, band_cap: int = 64,
-                 pool_cap: int = 2048):
+                 pool_cap: int = 2048, mesh=None):
         self.spec = spec
         self.W = band_cap
         self.P = pool_cap
+        self.mesh = mesh
         self.table = jnp.asarray(spec.table, jnp.int16).astype(jnp.int32)
         self.score = jnp.asarray(spec.score, jnp.int16).astype(jnp.int32)
         fwd = _mk_kernel(band_cap, pool_cap, spec.trace_space, spec.ave_path,
@@ -752,8 +760,18 @@ class WaveEngine:
         vm = functools.partial(jax.vmap,
                                in_axes=(0, 0, 0, 0, 0, 0, None, None,
                                         None, None))
-        self._fwd = jax.jit(vm(fwd))
-        self._rev = jax.jit(vm(rev))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P_
+            dp = NamedSharding(mesh, P_("dp"))
+            rep = NamedSharding(mesh, P_())
+            shardings = ([dp] * 6) + ([rep] * 4)
+            self._fwd = jax.jit(vm(fwd), in_shardings=shardings)
+            self._rev = jax.jit(vm(rev), in_shardings=shardings)
+            self._ndp = mesh.shape["dp"]
+        else:
+            self._fwd = jax.jit(vm(fwd))
+            self._rev = jax.jit(vm(rev))
+            self._ndp = 1
         self.n_fallback = 0
         self.n_total = 0
 
@@ -773,8 +791,10 @@ class WaveEngine:
                               z, np.zeros(0, bool), z)
         # bucket = next power of two, capped at BUCKET; larger batches are
         # chunked.  Bounds the number of distinct compiled shapes while
-        # keeping small batches cheap.
-        B = min(self.BUCKET, max(8, 1 << (n - 1).bit_length()))
+        # keeping small batches cheap.  Sharded engines need lanes divisible
+        # by the dp axis.
+        B = min(self.BUCKET, max(8, self._ndp,
+                                 1 << (n - 1).bit_length()))
         args = [np.asarray(x, np.int32)
                 for x in (abase, bbase, mida, k0, aoffp, boffp)]
         chunks = []

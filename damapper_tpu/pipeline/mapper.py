@@ -27,6 +27,21 @@ from ..ops.spec import new_align_spec
 from .reporter import Reporter
 
 
+def _auto_mesh():
+    """Data-parallel mesh over all local devices (None when single-chip):
+    the multi-chip analog of the reference's -T thread fan-out."""
+    try:
+        import jax
+        devs = jax.devices()
+        if len(devs) > 1:
+            from jax.sharding import Mesh
+            import numpy as _np
+            return Mesh(_np.array(devs), ("dp",))
+    except Exception:
+        pass
+    return None
+
+
 def _auto_backend() -> str:
     """Pick the wave backend: the batched device engine when an accelerator
     is attached, the host oracle otherwise.  Override with DAMAPPER_WAVE."""
@@ -68,7 +83,7 @@ class DamapperConfig:
     def __init__(self, kmer=20, suppress=0, mem_limit=None, ave_error=.85,
                  spacing=100, best_tie=1.0, masks=(), verbose=False,
                  profile=False, do_a=True, do_b=False, map_order=True,
-                 wave_backend=None):
+                 wave_backend=None, mesh="auto"):
         self.kmer = kmer
         self.suppress = suppress
         self.mem_limit = _physical_memory() if mem_limit is None else mem_limit
@@ -84,6 +99,7 @@ class DamapperConfig:
         if wave_backend is None:
             wave_backend = os.environ.get("DAMAPPER_WAVE") or _auto_backend()
         self.wave_backend = wave_backend
+        self.mesh = mesh
 
 
 def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
@@ -146,7 +162,10 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
     engine = None
     if cfg.wave_backend == "jax":
         from ..ops.wave_jax import WaveEngine
-        engine = WaveEngine(spec)
+        mesh = cfg.mesh
+        if mesh == "auto":
+            mesh = _auto_mesh()
+        engine = WaveEngine(spec, mesh=mesh)
     rep = Reporter(spec, cfg.kmer, cfg.spacing, cfg.best_tie,
                    do_a=cfg.do_a, do_b=cfg.do_b, engine=engine)
     profile_out = [] if cfg.profile else None
