@@ -132,6 +132,11 @@ def _main_fasta2db(argv: list[str]) -> int:
 
 
 def main(argv=None) -> int:
+    try:
+        from .utils.cache import enable_compile_cache
+        enable_compile_cache()
+    except Exception:
+        pass
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
         print(__doc__)

@@ -828,3 +828,38 @@ def extract_reverse_traces(cells, trimha, trimhb, trimx, trimy, trimd,
 
     return a_pre, b_pre
 
+
+
+def find_extension(aseq: np.ndarray, bseq: np.ndarray, spec: AlignSpec,
+                   diag: int, anti: int, lbord: int = -1, hbord: int = -1,
+                   prefix: bool = False) -> PathRec:
+    """Find_Extension (align.c:3006-3096): one-sided local alignment
+    anchored at (diag, anti).  With ``prefix`` the reverse wave extends a
+    prefix ending at the anchor; otherwise the forward wave extends a
+    suffix starting there.  Returns the A-path with (diff, b) trace-point
+    pairs.  The reference implements this with dedicated forward_extend/
+    reverse_extend kernels that track only the A-path (align.c:1957-3003);
+    here the shared wave pass is reused with the same spec/border
+    parameters, which yields the same A-path trim semantics."""
+    A, B = _pad(aseq), _pad(bseq)
+    apath = PathRec()
+    minp = -INT32_MAX if lbord < 0 else diag - lbord
+    maxp = INT32_MAX if hbord < 0 else diag + hbord
+
+    if prefix:
+        atr: list = []
+        btr: list = []
+        a_pre, b_pre = reverse_wave(A, B, spec, diag, diag, anti, minp,
+                                    maxp, 0, 0, apath, atr, btr)
+        apath.aepos = (anti + diag) >> 1
+        apath.bepos = (anti - diag) >> 1
+        apath.trace = a_pre + atr
+    else:
+        _, fwd, _btr = forward_wave(A, B, spec, diag, diag, anti, minp,
+                                    maxp, 0, 0)
+        apath.abpos = (anti + diag) >> 1
+        apath.bbpos = (anti - diag) >> 1
+        apath.aepos, apath.bepos = fwd.aepos, fwd.bepos
+        apath.diffs = fwd.diffs
+        apath.trace = fwd.trace
+    return apath

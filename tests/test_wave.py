@@ -149,3 +149,65 @@ def test_wave_matches_reference_high_error(seed):
 def test_wave_trace_spacings(tspace):
     rng = np.random.default_rng(77)
     _check_case(rng, glen=6000, rlen=2500, err=0.15, tspace=tspace)
+
+
+def test_find_extension_prefix_suffix():
+    """Find_Extension (align.c:3006): forward and reverse one-sided
+    extensions from a mid-alignment anchor reconstruct the two halves of
+    the full local alignment."""
+    import numpy as np
+    from damapper_tpu.io import db as dbio
+    from damapper_tpu.ops.spec import new_align_spec
+    from damapper_tpu.ops.wave import find_extension, local_alignment
+    from tests import helpers
+
+    rng = np.random.default_rng(77)
+    genome = helpers.sim_genome(rng, 8000)
+    a = dbio.seq_to_numeric(genome)
+    # b: noisy copy of a window of a
+    frag = genome[1000:5000]
+    out = []
+    for ch in frag:
+        r = rng.random()
+        if r < 0.12:
+            e = rng.random()
+            if e < 0.5:
+                out.append("ACGT"[rng.integers(0, 4)])
+                out.append(ch)
+            elif e < 0.75:
+                pass
+            else:
+                out.append("ACGT"[("ACGT".index(ch) + 1) % 4])
+        else:
+            out.append(ch)
+    b = dbio.seq_to_numeric("".join(out))
+
+    spec = new_align_spec(.85, 100, [.25, .25, .25, .25], True)
+    # anchor on an exact 16-mer shared near the middle of b
+    bpos = len(b) // 2
+    apos = None
+    while apos is None:
+        kmer = b[bpos:bpos + 16].tobytes()
+        hay = a.tobytes()
+        idx = hay.find(kmer, 1000 + bpos - 400)
+        if 0 <= idx <= 1000 + bpos + 400:
+            apos = idx
+        else:
+            bpos += 7
+    diag, anti = apos - bpos, apos + bpos
+
+    suf = find_extension(a, b, spec, diag, anti, prefix=False)
+    pre = find_extension(a, b, spec, diag, anti, prefix=True)
+
+    assert (suf.abpos, suf.bbpos) == ((anti + diag) // 2, (anti - diag) // 2)
+    assert (pre.aepos, pre.bepos) == ((anti + diag) // 2, (anti - diag) // 2)
+    # the suffix must reach (close to) the end of b, the prefix its start
+    assert suf.bepos > len(b) - 60
+    assert pre.bbpos < 60
+    # trace b-advances must sum to the aligned b span
+    assert sum(suf.trace[1::2]) == suf.bepos - suf.bbpos
+    assert sum(pre.trace[1::2]) == pre.bepos - pre.bbpos
+    # stitched extensions cover what the two-sided Local_Alignment covers
+    full, _ = local_alignment(a, b, spec, diag, diag, anti, -1, -1, 0)
+    assert abs(pre.abpos - full.abpos) <= 120
+    assert abs(suf.aepos - full.aepos) <= 120
