@@ -107,7 +107,9 @@ def time_ours(work: pathlib.Path):
 
 
 def main():
-    work = REPO / "tests" / "data" / "bench"
+    # per-config dataset dir: configs must not share files (a marker for one
+    # config does not mean the files on disk belong to it)
+    work = REPO / "tests" / "data" / "bench" / f"ds_{SEED}_{GLEN}_{NREADS}"
     result = {
         "metric": "reads mapped/sec, simulated PacBio 15% err vs reference "
                   f"damapper (genome {GLEN}bp, {NREADS} reads, -k20)",

@@ -71,21 +71,23 @@ class WaveResult:
     waves: np.ndarray       # per-lane main-loop iteration count (telemetry)
 
 
-def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool,
-               mscore: int = 0, dscore: int = 0):
-    """Build the single-lane wave function (closed over static config).
-
-    mscore/dscore (spec.mscore/spec.dscore) let the kernel evaluate the
-    suffix-positivity trim tables arithmetically instead of gathering from
-    the 2^15-entry tables (vmapped gathers cost ~70ns/row on TPU, so three
-    (W,)-row lookups per wave dominate; a 15-step unrolled scan is ~free).
-    When both are 0 the kernel falls back to table/score gathers.
+def _mk_kernel(W: int, P: int, reverse: bool):
+    """Build the single-lane wave function.  Only the band/pool capacities
+    and the direction are compile-time constants; all spec parameters
+    (trace spacing ts, ave-path threshold pave, suffix-positivity scores
+    msc/dsc) are runtime scalars so one compiled kernel serves every
+    dataset (the persistent compile cache then always hits).  The
+    suffix-positivity trim tables are evaluated arithmetically in-kernel
+    (a 15-step unrolled scan) instead of gathered from the 2^15-entry
+    tables: vmapped gathers cost ~70ns/row on TPU.
     """
     Wm = W - 1
     sgn = -1 if reverse else 1
 
     def kernel(abase, bbase, mida, k0, aoffp, boffp, Aflat, Bflat,
-               table, score):
+               ts, pave, msc, dsc):
+        TS = ts
+        PATH_AVE = pave
         # sequence accessors; the reference's reverse pass decrements its
         # sequence pointers by one (align.c:1017-1018)
         soff = -1 if reverse else 0
@@ -117,12 +119,16 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool,
         # at columns >= o yields both the run length and the stop cause.
         # For the reverse kernel the windows are flipped so columns still
         # advance with the walk.
-        BW = 256                      # window columns
+        # Window width trades reload frequency against plane bytes: the
+        # planes ride in the while-loop state and this backend copies the
+        # state every trip, so smaller+int16 planes directly cut per-wave
+        # cost (state traffic dominates at ~35GB/s effective).
+        BW = max(128, W + 64)         # window columns (>= band y-span)
         AW = BW + 2 * W               # A window spans both offset variants
         LB = Bflat.shape[0]
         LA = Aflat.shape[0]
         jidx = jnp.arange(BW, dtype=i32)
-        BIGC = i32(1 << 30)
+        BIGC = jnp.int16(0x7FFF)
 
         def _reload(yref, low, hgh, anyact):
             """(Re)anchor the windows and rebuild the code planes.
@@ -160,7 +166,7 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool,
             def code(aw):
                 stop = b4 | (bwin[None, :] != aw)
                 val = ((jidx[None, :] << 2) | (b4.astype(i32) << 1) |
-                       (aw == 4).astype(i32))
+                       (aw == 4).astype(i32)).astype(jnp.int16)
                 return jnp.where(stop, val, BIGC)
 
             return (code(awN), code(awW), banchor, kanchor, bad)
@@ -262,8 +268,8 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool,
         MB = jnp.zeros(W, i32).at[k0 & Wm].set(bmk0)
 
         # match-plane state: invalid anchors force a reload on wave 1
-        codeN = jnp.zeros((W, BW), i32)
-        codeW = jnp.zeros((W, BW), i32)
+        codeN = jnp.zeros((W, BW), jnp.int16)
+        codeW = jnp.zeros((W, BW), jnp.int16)
         banchor = i32(-(1 << 30))
         kanchor = i32(-(1 << 30))
 
@@ -491,8 +497,8 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool,
                 oc = jnp.clip(o, 0, BW - 1)
                 jm = jidx[None, :] >= oc[:, None]
                 csel = jnp.where(wrap[:, None], codeW, codeN)
-                r = jnp.min(jnp.where(jm, csel, BIGC), axis=1)
-                found = r < BIGC
+                r = jnp.min(jnp.where(jm, csel, BIGC), axis=1).astype(i32)
+                found = r < 0x7FFF
                 jstar = jnp.where(found, r >> 2, BW)
                 run = jstar - oc
                 nst = jnp.where(usable, jnp.minimum(run, SS), 0)
@@ -635,22 +641,19 @@ def _mk_kernel(W: int, P: int, TS: int, PATH_AVE: int, reverse: bool,
 
             i1 = (tlo_b & 0x7FFF).astype(jnp.int32)
             i2 = ((tlo_b >> 15) & 0x7FFF).astype(jnp.int32)
-            if mscore or dscore:
-                # arithmetic trim tables: table[x] = total - max(0, maxpref),
-                # score[x] = total over the 15-column window (spec.py)
-                def tbl(x):
-                    cum = jnp.zeros_like(x)
-                    maxp = jnp.zeros_like(x)
-                    for ii in range(TRIM_LEN - 1, -1, -1):
-                        bit = (x >> ii) & 1
-                        cum = cum + jnp.where(bit == 1, mscore, -dscore)
-                        maxp = jnp.maximum(maxp, cum)
-                    return cum - maxp, cum
-                t1, s1 = tbl(i1)
-                t2, _ = tbl(i2)
-                tbl_ok = (t1 >= 0) & (t2 + s1 >= 0)
-            else:
-                tbl_ok = (table[i1] >= 0) & (table[i2] + score[i1] >= 0)
+            # arithmetic trim tables: table[x] = total - max(0, maxpref),
+            # score[x] = total over the 15-column window (spec.py)
+            def tbl(x):
+                cum = jnp.zeros_like(x)
+                maxp = jnp.zeros_like(x)
+                for ii in range(TRIM_LEN - 1, -1, -1):
+                    bit = (x >> ii) & 1
+                    cum = cum + jnp.where(bit == 1, msc, -dsc)
+                    maxp = jnp.maximum(maxp, cum)
+                return cum - maxp, cum
+            t1, s1 = tbl(i1)
+            t2, _ = tbl(i2)
+            tbl_ok = (t1 >= 0) & (t2 + s1 >= 0)
             m_ok = m_b >= PATH_AVE
 
             if not reverse:
@@ -749,31 +752,35 @@ class WaveEngine:
         self.W = band_cap
         self.P = pool_cap
         self.mesh = mesh
-        self.table = jnp.asarray(spec.table, jnp.int16).astype(jnp.int32)
-        self.score = jnp.asarray(spec.score, jnp.int16).astype(jnp.int32)
-        fwd = _mk_kernel(band_cap, pool_cap, spec.trace_space, spec.ave_path,
-                         reverse=False, mscore=spec.mscore,
-                         dscore=spec.dscore)
-        rev = _mk_kernel(band_cap, pool_cap, spec.trace_space, spec.ave_path,
-                         reverse=True, mscore=spec.mscore,
-                         dscore=spec.dscore)
-        vm = functools.partial(jax.vmap,
-                               in_axes=(0, 0, 0, 0, 0, 0, None, None,
-                                        None, None))
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P_
-            dp = NamedSharding(mesh, P_("dp"))
-            rep = NamedSharding(mesh, P_())
-            shardings = ([dp] * 6) + ([rep] * 4)
-            self._fwd = jax.jit(vm(fwd), in_shardings=shardings)
-            self._rev = jax.jit(vm(rev), in_shardings=shardings)
-            self._ndp = mesh.shape["dp"]
-        else:
-            self._fwd = jax.jit(vm(fwd))
-            self._rev = jax.jit(vm(rev))
-            self._ndp = 1
+        self._consts = (jnp.int32(spec.trace_space), jnp.int32(spec.ave_path),
+                        jnp.int32(spec.mscore), jnp.int32(spec.dscore))
+        self._fns = {}          # pool bucket -> (fwd, rev) jitted
+        self._ndp = mesh.shape["dp"] if mesh is not None else 1
+        self._activeP = pool_cap
         self.n_fallback = 0
         self.n_total = 0
+
+    def _get_fns(self, P: int):
+        """Jitted kernel pair for a pool-capacity bucket.  The pool rides
+        in the while state and is copied every wave on this backend, so
+        capacity is sized per batch (local_alignment_batch) rather than
+        worst-case: 2048 -> 512 pool rows halves per-wave cost."""
+        if P not in self._fns:
+            vm = functools.partial(jax.vmap,
+                                   in_axes=(0, 0, 0, 0, 0, 0, None, None,
+                                            None, None, None, None))
+            fwd = vm(_mk_kernel(self.W, P, reverse=False))
+            rev = vm(_mk_kernel(self.W, P, reverse=True))
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P_
+                dp = NamedSharding(self.mesh, P_("dp"))
+                rep = NamedSharding(self.mesh, P_())
+                shardings = ([dp] * 6) + ([rep] * 6)
+                self._fns[P] = (jax.jit(fwd, in_shardings=shardings),
+                                jax.jit(rev, in_shardings=shardings))
+            else:
+                self._fns[P] = (jax.jit(fwd), jax.jit(rev))
+        return self._fns[P]
 
     # fixed bucket size: every call pads/chunks to this many lanes, so each
     # direction compiles exactly once (compiles are 20-60s on the axon TPU
@@ -782,12 +789,13 @@ class WaveEngine:
 
     def _run(self, which, abase, bbase, mida, k0, aoffp, boffp,
              Aflat, Bflat) -> WaveResult:
-        fn = self._fwd if which == "fwd" else self._rev
+        P = self._activeP
+        fn = self._get_fns(P)[0 if which == "fwd" else 1]
         n = len(abase)
         if n == 0:
             z = np.zeros(0, np.int32)
             return WaveResult(*([z] * 11),
-                              np.zeros((0, self.P, 4), np.int32),
+                              np.zeros((0, P, 4), np.int32),
                               z, np.zeros(0, bool), z)
         # bucket = next power of two, capped at BUCKET; larger batches are
         # chunked.  Bounds the number of distinct compiled shapes while
@@ -807,7 +815,7 @@ class WaveEngine:
                 return jnp.asarray(np.concatenate(
                     [x, np.repeat(x[:1], B - len(x))]))
             out = fn(*[pad(x) for x in args], Aflat, Bflat,
-                     self.table, self.score)
+                     *self._consts)
             chunks.append({f: np.asarray(v)[:en - st]
                            for f, v in out.items()})
         merged = {f: np.concatenate([c[f] for c in chunks])
@@ -825,6 +833,13 @@ class WaveEngine:
         self.n_total += n
         TS = self.spec.trace_space
         out = [None] * n
+
+        # pool bucket: pebbles per lane are bounded by the aligned span
+        # (two trace lines per TS columns on each side of a < 2*alen-wide
+        # extension) + wave-0 drops + slack
+        need = 4 * int(max(s["alen"] for s in seeds)) // TS + 128
+        self._activeP = int(min(self.P,
+                                max(256, 1 << (need - 1).bit_length())))
 
         abase = np.array([s["abase"] for s in seeds], np.int32)
         bbase = np.array([s["bbase"] for s in seeds], np.int32)

@@ -59,10 +59,9 @@ def build_sharded_step(mesh: Mesh, spec: AlignSpec, band_cap: int = 64,
     the local "dp" shard of seeds, (3) all_gather the per-seed alignment
     extents over "dp".
     """
-    fwd = wave_jax._mk_kernel(band_cap, pool_cap, spec.trace_space,
-                              spec.ave_path, reverse=False)
-    table = jnp.asarray(spec.table, jnp.int32)
-    score = jnp.asarray(spec.score, jnp.int32)
+    fwd = wave_jax._mk_kernel(band_cap, pool_cap, reverse=False)
+    consts = (jnp.int32(spec.trace_space), jnp.int32(spec.ave_path),
+              jnp.int32(spec.mscore), jnp.int32(spec.dscore))
 
     def local_step(ref_codes, seed_codes, abase, bbase, mida, k0, seqmem):
         # (1) index lookup on the local reference shard + psum over "ref"
@@ -75,7 +74,7 @@ def build_sharded_step(mesh: Mesh, spec: AlignSpec, band_cap: int = 64,
         zeros = jnp.zeros_like(abase)
         out = jax.vmap(
             lambda ab, bb, md, kk: fwd(ab, bb, md, kk, zeros[0], zeros[0],
-                                       seqmem, seqmem, table, score)
+                                       seqmem, seqmem, *consts)
         )(abase, bbase, mida, k0)
         extent = out["trima"] - mida        # how far each seed extended
 
