@@ -92,7 +92,7 @@ def time_reference(work: pathlib.Path):
 
 def time_ours(work: pathlib.Path):
     from damapper_tpu.pipeline.mapper import DamapperConfig, run_damapper
-    cfg = DamapperConfig(wave_backend="jax")
+    cfg = DamapperConfig()   # auto: pallas engine on TPU
     out = work / "ours"
     out.mkdir(exist_ok=True)
     best = None

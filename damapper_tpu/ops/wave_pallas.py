@@ -1,0 +1,1032 @@
+"""Pallas/Mosaic wave segment kernel: the production TPU compute path.
+
+The XLA while-loop engine (wave_jax) pays hundreds of microseconds per wave
+on this backend; the same loop compiled as ONE Mosaic kernel runs at
+~microsecond waves because the band state never leaves VMEM.  Design:
+
+ * The per-wave body of the O(nd) trace-point wave (reference
+   align.c:353-1946; semantics identical to damapper_tpu.ops.wave_jax) is
+   restructured as a lane-masked PHASE MACHINE over groups of G lanes so
+   every loop condition reduces to a scalar (Mosaic requires scalar `scf`
+   conditions):
+
+     phase 0 -> wave start: band expand, border init, pick3 inheritance,
+                snake init                                  [masked per lane]
+     phase 1 -> one snake step per iteration (match-plane lookup, <=16
+                columns); when a lane's snake completes it runs the
+                post-wave block (clips, pebble drops, best/trim triggers,
+                stores, band prune) and returns to phase 0  [masked]
+
+ * Everything a Mosaic kernel cannot do on this toolchain is hoisted to an
+   outer XLA driver loop that calls the kernel repeatedly ("segments"):
+     - match-plane (re)loads from the big sequence arrays (manual DMA is
+       unavailable): a lane whose snake leaves its windows STALLS and the
+       driver rebuilds its planes (stall_reload),
+     - the boundary-clip REACH test, which reads one sequence byte per side
+       (stall_rest),
+     - pebble-pool writes: drops append to a small per-segment buffer with
+       globally consistent pool indices; the driver scatters the buffer
+       into the pool between segments (stall_dbuf when full).
+   A segment runs until every lane is stalled or finished, so the kernel
+   typically executes hundreds of waves per launch.
+
+ * The wave-0 prologue (seed snake, initial pebbles, initial clip) runs in
+   the driver (XLA) once per batch - it is tiny and needs raw sequence
+   access.
+
+Outputs are bit-identical to wave_jax/_host (same trim/more selection, same
+pebble chains); the differential tests drive all three.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .spec import PATH_LEN, TRIM_LEN, TRIM_MLAG, WAVE_LAG
+
+INT32_MAX = np.int32(0x7FFFFFFF)
+NEG_BIG = -np.int32(0x40000000)
+THI_MASK = np.uint32((1 << 29) - 1)
+PATH_TOP_HI_BIT = 28
+SS = 16                     # snake columns per phase-1 iteration
+
+i32 = jnp.int32
+u32 = jnp.uint32
+
+
+# ---------------------------------------------------------------------------
+# state container: a flat dict of (G|B, ...) arrays (order matters for the
+# pallas call plumbing)
+# ---------------------------------------------------------------------------
+
+BAND_I32 = ("V", "M", "NA", "NB", "HA", "HB", "MA", "MB",
+            "sy", "sm", "wha", "whb", "wma", "wmb")
+BAND_U32 = ("Thi", "Tlo", "sthi", "stlo")
+BAND_MSK = ("sact", "sca", "scb")          # stored i32 0/1
+SCALARS = ("low", "hgh", "dif", "more", "besta", "besty", "lasta",
+           "trima", "trimy", "trimd", "trimha", "trimhb",
+           "morem", "morea", "morey", "mored", "moreha", "morehb",
+           "overflow", "avail", "banchor", "kanchor",
+           "phase", "live", "stall_reload", "stall_rest", "stall_dbuf",
+           "dcnt", "abase", "bbase", "aoffp", "boffp")
+PLANES = ("codeN", "codeW")                # (.., W, BW) i32
+DBUFS = ("dbuf",)                          # (.., DBUF, 4) i32
+
+ORDER = BAND_I32 + BAND_U32 + BAND_MSK + SCALARS + PLANES + DBUFS
+
+
+def state_arrays(n, W, BW, DBUF):
+    st = {}
+    for nm in BAND_I32:
+        st[nm] = jnp.zeros((n, W), i32)
+    for nm in BAND_U32:
+        st[nm] = jnp.zeros((n, W), u32)
+    for nm in BAND_MSK:
+        st[nm] = jnp.zeros((n, W), i32)
+    for nm in SCALARS:
+        st[nm] = jnp.zeros((n,), i32)
+    st["codeN"] = jnp.zeros((n, W, BW), i32)
+    st["codeW"] = jnp.zeros((n, W, BW), i32)
+    st["dbuf"] = jnp.zeros((n, DBUF, 4), i32)
+    return st
+
+
+# ---------------------------------------------------------------------------
+# the segment step: pure jnp over (G, ...) arrays with scalar-cond whiles.
+# Runs identically under plain XLA (used by the CPU tests) and inside the
+# pallas kernel.
+# ---------------------------------------------------------------------------
+
+
+def make_segment(W, BW, P, DBUF, reverse):
+    Wm = W - 1
+    sgn = -1 if reverse else 1
+    BIGC = np.int32(1 << 30)
+
+    def seg(st, ts, pave, msc, dsc):
+        TS = ts
+        # index vectors built in-trace (a pallas kernel cannot capture
+        # closure arrays)
+        slots1 = jax.lax.broadcasted_iota(i32, (1, W), 1)
+        jidx = jax.lax.broadcasted_iota(i32, (1, 1, BW), 2)
+        if not reverse:
+            offN_vec = slots1
+        else:
+            offN_vec = jnp.where(slots1 == 0, W, W - slots1)
+
+        def b2(x):
+            return x[:, None]            # (G,) -> (G,1)
+
+        def seg_cond(st):
+            run = (st["live"] == 1) & (st["stall_reload"] == 0) & \
+                  (st["stall_rest"] == 0) & (st["stall_dbuf"] == 0)
+            return run.any()
+
+        def seg_body(st):
+            st = dict(st)
+            G = st["V"].shape[0]
+            lane_run = (st["live"] == 1) & (st["stall_reload"] == 0) & \
+                       (st["stall_rest"] == 0) & (st["stall_dbuf"] == 0)
+
+            # ---------------- phase A: start a wave --------------------
+            # reserve drop-buffer room for a full wave (a wave's drops are
+            # bounded by the window span / trace spacing, << 64)
+            want_start = lane_run & (st["phase"] == 0)
+            room = st["dcnt"] <= DBUF - 64
+            stall_dbuf = jnp.where(want_start & ~room, 1, st["stall_dbuf"])
+            sA = want_start & room
+            low = jnp.where(sA, st["low"] - 1, st["low"])
+            hgh = jnp.where(sA, st["hgh"] + 1, st["hgh"])
+            dif = jnp.where(sA, st["dif"] + 1, st["dif"])
+            ovf = jnp.where(sA & ((hgh - low + 4 >= W) |
+                                  (st["avail"] + W >= P)),
+                            1, st["overflow"])
+
+            V, NA, NB = st["V"], st["NA"], st["NB"]
+            sl = b2(low & Wm)
+            sh = b2(hgh & Wm)
+            is_sl = slots1 == sl
+            is_sh = slots1 == sh
+            fill = i32(INT32_MAX) if reverse else i32(NEG_BIG)
+
+            def at_slot(arr, s):
+                return jnp.sum(jnp.where(slots1 == s, arr, 0), axis=1,
+                               keepdims=True)
+
+            sAb = b2(sA)
+            V = jnp.where(sAb & (is_sl | is_sh), fill, V)
+            na_lo = at_slot(NA, b2((low + 1) & Wm))
+            na_hi = at_slot(NA, b2((hgh - 1) & Wm))
+            nb_lo = at_slot(NB, b2((low + 1) & Wm))
+            nb_hi = at_slot(NB, b2((hgh - 1) & Wm))
+            NA = jnp.where(sAb & is_sl, na_lo,
+                           jnp.where(sAb & is_sh, na_hi, NA))
+            NB = jnp.where(sAb & is_sl, nb_lo,
+                           jnp.where(sAb & is_sh, nb_hi, NB))
+
+            k = b2(low) + jnp.remainder(slots1 - b2(low), W)
+            in_band = k <= b2(hgh)
+
+            Vm = jnp.where(in_band, V, fill)
+            ap = jnp.roll(Vm, -1, axis=1)
+            am = jnp.roll(Vm, 1, axis=1)
+            ac = Vm
+            if not reverse:
+                lt = ac < am
+                pickP = (lt & (am < ap)) | (~lt & (ac < ap))
+                pickM = lt & ~pickP
+                c0 = jnp.where(pickP, ap + 1,
+                               jnp.where(pickM, am + 1, ac + 2))
+            else:
+                gt = ac > ap
+                pickM = (gt & (ap > am)) | (~gt & (ac > am))
+                pickP = gt & ~pickM
+                c0 = jnp.where(pickM, am - 1,
+                               jnp.where(pickP, ap - 1, ac - 2))
+
+            def pick3(arr):
+                return jnp.where(pickP, jnp.roll(arr, -1, axis=1),
+                                 jnp.where(pickM, jnp.roll(arr, 1, axis=1),
+                                           arr))
+
+            m0 = pick3(st["M"])
+            thi0 = pick3(st["Thi"])
+            tlo0 = pick3(st["Tlo"])
+            ha0 = pick3(st["HA"])
+            hb0 = pick3(st["HB"])
+            ma0 = pick3(st["MA"])
+            mb0 = pick3(st["MB"])
+
+            top = (thi0 >> PATH_TOP_HI_BIT) & 1
+            m0 = m0 - top.astype(i32)
+            thi0 = ((thi0 << 1) | (tlo0 >> 31)) & THI_MASK
+            tlo0 = tlo0 << 1
+            y0 = jnp.right_shift(c0 - k, 1)
+
+            sy = jnp.where(sAb, y0, st["sy"])
+            sm = jnp.where(sAb, m0, st["sm"])
+            sthi = jnp.where(sAb, thi0, st["sthi"])
+            stlo = jnp.where(sAb, tlo0, st["stlo"])
+            wha = jnp.where(sAb, ha0, st["wha"])
+            whb = jnp.where(sAb, hb0, st["whb"])
+            wma = jnp.where(sAb, ma0, st["wma"])
+            wmb = jnp.where(sAb, mb0, st["wmb"])
+            sact = jnp.where(sAb, in_band.astype(i32), st["sact"])
+            sca = jnp.where(sAb, 0, st["sca"])
+            scb = jnp.where(sAb, 0, st["scb"])
+            phase = jnp.where(sA, 1, st["phase"])
+
+            # ---------------- phase S: one snake step ------------------
+            sS = lane_run & (phase == 1)
+            act = (sact == 1) & b2(sS)
+
+            if not reverse:
+                o = b2(st["bbase"]) + sy - b2(st["banchor"])
+                off = k - b2(st["kanchor"])
+            else:
+                o = b2(st["banchor"]) - (b2(st["bbase"]) + sy - 1)
+                off = b2(st["kanchor"]) - k
+            wrap = off == offN_vec + W
+            valid_off = (off == offN_vec) | wrap
+            inv = act & (~valid_off | (o < 0) | (o > BW - SS))
+            # slots outside the window wait; the lane stalls for a reload
+            # only when NO active slot can advance (valid slots keep the
+            # wave moving, raising the anchor for the next reload - gating
+            # the whole lane on any invalid slot can deadlock when the
+            # active span exceeds one window)
+            usable = act & ~inv
+            need_rl = inv.any(axis=1) & ~usable.any(axis=1)
+            stall_reload = jnp.where(sS & need_rl, 1, st["stall_reload"])
+
+            oc = jnp.clip(o, 0, BW - 1)
+            jm = jidx >= oc[:, :, None]
+            wrap3 = wrap.astype(i32)[:, :, None] != 0
+            csel = jnp.where(wrap3, st["codeW"], st["codeN"])
+            r = jnp.min(jnp.where(jm, csel, BIGC), axis=2)
+            found = r < BIGC
+            jstar = jnp.where(found, r >> 2, BW)
+            run = jstar - oc
+            nst = jnp.where(usable, jnp.minimum(run, SS), 0)
+            adv_done = usable & (run <= SS) & found
+            sbv = ((r >> 1) & 1) == 1
+            a4s = (r & 1) == 1
+            sb = adv_done & sbv
+            sa = adv_done & ~sbv & a4s
+
+            nu = nst.astype(u32)
+            ext = (sthi >> (29 - nu)) & ((u32(1) << nu) - 1)
+            pops = jax.lax.population_count(ext).astype(i32)
+            nthi = ((sthi << nu) |
+                    jnp.where(nst == 0, u32(0),
+                              stlo >> (32 - nu))) & THI_MASK
+            ntlo = (stlo << nu) | ((u32(1) << nu) - 1)
+            sm = jnp.where(usable, sm + nst - pops, sm)
+            sthi = jnp.where(usable, nthi, sthi)
+            stlo = jnp.where(usable, ntlo, stlo)
+            sy = jnp.where(usable, sy + sgn * nst, sy)
+            sca = jnp.where(sa, 1, sca)
+            scb = jnp.where(sb, 1, scb)
+            sact = jnp.where(adv_done, 0, sact)
+
+            # ---------------- phase B: complete the wave ---------------
+            snake_done = sS & ~need_rl & ~((sact == 1).any(axis=1))
+            sBb = b2(snake_done)
+            y = sy
+            c = (y << 1) + k
+            clipA = (sca == 1) & in_band
+            clipB = (scb == 1) & in_band
+            clip_any = (clipA | clipB).any(axis=1)
+            more = jnp.where(snake_done & clip_any, 0, st["more"])
+            if not reverse:
+                aclip = jnp.min(jnp.where(clipA, k, INT32_MAX), axis=1)
+                bclip = jnp.max(jnp.where(clipB, k, -INT32_MAX), axis=1)
+            else:
+                aclip = jnp.max(jnp.where(clipA, k, -INT32_MAX), axis=1)
+                bclip = jnp.min(jnp.where(clipB, k, INT32_MAX), axis=1)
+
+            # pebble drops into the segment buffer (pool indices stay
+            # globally consistent via the carried avail counter)
+            X2 = jnp.concatenate([y + k, y], axis=1)          # (G, 2W)
+            N2 = jnp.concatenate([NA, NB], axis=1)
+            H2 = jnp.concatenate([wha, whb], axis=1)
+            MK2 = jnp.concatenate([wma, wmb], axis=1)
+            k2w = jnp.concatenate([k, k], axis=1)
+            ib32 = in_band.astype(i32)
+            inb2w = jnp.concatenate([ib32, ib32], axis=1) != 0
+            avail = st["avail"]
+            dcnt = st["dcnt"]
+            dbuf = st["dbuf"]
+            ovfB = ovf
+
+            def d_cond(dst):
+                N2, H2, MK2, avail, dcnt, dbuf, ovfB = dst
+                if reverse:
+                    need_any = inb2w & (X2 <= N2)
+                else:
+                    need_any = inb2w & (X2 >= N2)
+                return (need_any & sBb & (b2(dcnt) < DBUF)).any()
+
+            def d_body(dst):
+                N2, H2, MK2, avail, dcnt, dbuf, ovfB = dst
+                lact = sBb & (b2(dcnt) < DBUF)
+                if reverse:
+                    dact = lact & inb2w & (X2 <= N2)
+                    need = dact & (MK2 > N2)
+                else:
+                    dact = lact & inb2w & (X2 >= N2)
+                    need = dact & (MK2 < N2)
+                # inclusive prefix sum via log-doubling (no cumsum in Mosaic)
+                cs = need.astype(i32)
+                sft = 1
+                while sft < 2 * W:
+                    rolled = jnp.roll(cs, sft, axis=1)
+                    okm = jax.lax.broadcasted_iota(
+                        i32, cs.shape, 1) >= sft
+                    cs = cs + jnp.where(okm, rolled, 0)
+                    sft *= 2
+                cnt = jnp.max(cs, axis=1)   # == cs[:, -1]; int indexing
+                ridx = cs - 1               # lowers to dynamic_slice in
+                #                             Mosaic, reductions do not
+                pidx = b2(avail) + ridx             # global pool index
+                H2n = jnp.where(need, pidx, H2)
+                MK2n = jnp.where(need, N2, MK2)
+                # append the needed rows at dbuf[dcnt + rank]; ranks are
+                # consecutive, so iterate a small static cap (no scatter)
+                rows = jnp.stack([H2, k2w, jnp.broadcast_to(
+                    b2(dif), H2.shape), N2], axis=2)        # (G, 2W, 4)
+                diota = jax.lax.broadcasted_iota(i32, (1, DBUF), 1)
+                newbuf = dbuf
+                for rr in range(8):
+                    has = cnt > rr
+                    sel = (need & (ridx == rr)).astype(i32)  # one slot
+                    row = jnp.sum(jnp.where(sel[:, :, None] != 0, rows, 0),
+                                  axis=1)                    # (G, 4)
+                    at = b2(dcnt) + rr
+                    mask = ((diota == at) &
+                            (b2(has.astype(i32)) != 0)).astype(i32)
+                    newbuf = jnp.where(mask[:, :, None] != 0,
+                                       row[:, None, :], newbuf)
+                done8 = jnp.minimum(cnt, 8)
+                # slots with rank >= 8 wait for the next trip
+                processed = need & (ridx < 8)
+                H2 = jnp.where(processed, H2n, H2)
+                MK2 = jnp.where(processed, MK2n, MK2)
+                adv = dact & (~need | processed)
+                N2 = jnp.where(adv, N2 - TS if reverse else N2 + TS, N2)
+                avail = avail + done8
+                dcnt = dcnt + done8
+                ovfB = jnp.where(avail + W >= P, 1, ovfB)
+                return (N2, H2, MK2, avail, dcnt, newbuf, ovfB)
+
+            (N2, H2, MK2, avail, dcnt, dbuf, ovfB) = \
+                jax.lax.while_loop(d_cond, d_body,
+                                   (N2, H2, MK2, avail, dcnt, dbuf, ovfB))
+            NA = jnp.where(sBb, N2[:, :W], NA)
+            NB = jnp.where(sBb, N2[:, W:], NB)
+            wha = jnp.where(sBb, H2[:, :W], wha)
+            whb = jnp.where(sBb, H2[:, W:], whb)
+            wma = jnp.where(sBb, MK2[:, :W], wma)
+            wmb = jnp.where(sBb, MK2[:, W:], wmb)
+
+            # best/trim triggers in slot space (two-segment scans)
+            rel = jnp.remainder(slots1 - b2(low), W)
+            low0 = b2(jnp.remainder(low, W))
+            maskU = slots1 >= low0
+
+            def revcummax(v):
+                idx = slots1
+                s = 1
+                out = v
+                while s < W:
+                    sh = jnp.roll(out, -s, axis=1)
+                    ok = idx + s < W
+                    out = jnp.maximum(out, jnp.where(ok, sh, NEG_BIG))
+                    s *= 2
+                return out
+
+            def cummin(v):
+                idx = slots1
+                s = 1
+                out = v
+                while s < W:
+                    sh = jnp.roll(out, s, axis=1)
+                    ok = idx - s >= 0
+                    out = jnp.minimum(out, jnp.where(ok, sh, INT32_MAX))
+                    s *= 2
+                return out
+
+            besta = st["besta"]
+            if not reverse:
+                cU = jnp.where(in_band & maskU, c, NEG_BIG)
+                cL = jnp.where(in_band & ~maskU, c, NEG_BIG)
+                sufU = revcummax(cU)
+                sufL = revcummax(cL)
+                maxL = jnp.max(cL, axis=1, keepdims=True)
+                sufU_x = jnp.where(slots1 < W - 1,
+                                   jnp.roll(sufU, -1, axis=1), NEG_BIG)
+                sufL_x = jnp.where(slots1 < W - 1,
+                                   jnp.roll(sufL, -1, axis=1), NEG_BIG)
+                suf_excl = jnp.where(maskU, jnp.maximum(sufU_x, maxL),
+                                     sufL_x)
+                runbase = jnp.maximum(b2(besta), suf_excl)
+                trigger = in_band & (c > runbase)
+                new_besta = jnp.maximum(
+                    besta, jnp.max(jnp.where(in_band, c, NEG_BIG), axis=1))
+            else:
+                cU = jnp.where(in_band & maskU, c, INT32_MAX)
+                cL = jnp.where(in_band & ~maskU, c, INT32_MAX)
+                preU = cummin(cU)
+                preL = cummin(cL)
+                minU = jnp.min(cU, axis=1, keepdims=True)
+                preU_x = jnp.where(slots1 > 0,
+                                   jnp.roll(preU, 1, axis=1), INT32_MAX)
+                preL_x = jnp.where(slots1 > 0,
+                                   jnp.roll(preL, 1, axis=1), INT32_MAX)
+                pre_excl = jnp.where(maskU, preU_x,
+                                     jnp.minimum(preL_x, minU))
+                runbase = jnp.minimum(b2(besta), pre_excl)
+                trigger = in_band & (c < runbase)
+                new_besta = jnp.minimum(
+                    besta, jnp.min(jnp.where(in_band, c, INT32_MAX),
+                                   axis=1))
+
+            i1 = (stlo & 0x7FFF).astype(i32)
+            i2 = ((stlo >> 15) & 0x7FFF).astype(i32)
+
+            def tbl(x):
+                cum = jnp.zeros_like(x)
+                maxp = jnp.zeros_like(x)
+                for ii in range(TRIM_LEN - 1, -1, -1):
+                    bit = (x >> ii) & 1
+                    cum = cum + jnp.where(bit == 1, msc, -dsc)
+                    maxp = jnp.maximum(maxp, cum)
+                return cum - maxp, cum
+
+            t1, s1 = tbl(i1)
+            t2, _ = tbl(i2)
+            tbl_ok = (t1 >= 0) & (t2 + s1 >= 0)
+            m_ok = sm >= pave
+
+            if not reverse:
+                def chosen(msk):
+                    return jnp.min(jnp.where(msk, rel, W), axis=1,
+                                   keepdims=True)
+            else:
+                def chosen(msk):
+                    return jnp.max(jnp.where(msk, rel, -1), axis=1,
+                                   keepdims=True)
+
+            def pick_at(msk, arr):
+                oneh = msk & (rel == chosen(msk))
+                return jnp.sum(jnp.where(oneh, arr, 0), axis=1)
+
+            any0 = trigger.any(axis=1)
+            besty = jnp.where(snake_done & any0, pick_at(trigger, y),
+                              st["besty"])
+            besta = jnp.where(snake_done, new_besta, besta)
+
+            trig_m = trigger & m_ok
+            any1 = trig_m.any(axis=1)
+            lasta = jnp.where(snake_done & any1, pick_at(trig_m, c),
+                              st["lasta"])
+
+            trig_t = trig_m & tbl_ok
+            any2 = trig_t.any(axis=1)
+            upd2 = snake_done & any2
+            trima = jnp.where(upd2, pick_at(trig_t, c), st["trima"])
+            trimy = jnp.where(upd2, pick_at(trig_t, y), st["trimy"])
+            trimd = jnp.where(upd2, dif, st["trimd"])
+            trimha = jnp.where(upd2, pick_at(trig_t, wha), st["trimha"])
+            trimhb = jnp.where(upd2, pick_at(trig_t, whb), st["trimhb"])
+
+            # store band state
+            V = jnp.where(sBb & in_band, c, V)
+            Thi = jnp.where(sBb & in_band, sthi, st["Thi"])
+            Tlo = jnp.where(sBb & in_band, stlo, st["Tlo"])
+            M = jnp.where(sBb & in_band, sm, st["M"])
+            HA = jnp.where(sBb & in_band, wha, st["HA"])
+            HB = jnp.where(sBb & in_band, whb, st["HB"])
+            MA = jnp.where(sBb & in_band, wma, st["MA"])
+            MB = jnp.where(sBb & in_band, wmb, st["MB"])
+
+            # clip block (value grabs in one-hot form; the REACH `rest`
+            # byte test is deferred to the driver via stall_rest)
+            clipped = snake_done & (more == 0) & (st["more"] == 1)
+            if not reverse:
+                hit_a = clipped & (hgh >= aclip)
+                hit_b = clipped & (low <= bclip)
+            else:
+                hit_a = clipped & (low <= aclip)
+                hit_b = clipped & (hgh >= bclip)
+
+            morem = st["morem"]
+            morea = st["morea"]
+            morey = st["morey"]
+            mored = st["mored"]
+            moreha = st["moreha"]
+            morehb = st["morehb"]
+
+            def grab(kc, hit, morem, morea, morey, mored, moreha, morehb):
+                sel = k == b2(kc)
+                Mv = jnp.sum(jnp.where(sel, M, 0), axis=1)
+                Vv = jnp.sum(jnp.where(sel, V, 0), axis=1)
+                HAv = jnp.sum(jnp.where(sel, HA, 0), axis=1)
+                HBv = jnp.sum(jnp.where(sel, HB, 0), axis=1)
+                upd = hit & (morem <= Mv)
+                morem = jnp.where(upd, Mv, morem)
+                morea = jnp.where(upd, Vv, morea)
+                morey = jnp.where(upd, (Vv - kc) // 2, morey)
+                mored = jnp.where(upd, dif, mored)
+                moreha = jnp.where(upd, HAv, moreha)
+                morehb = jnp.where(upd, HBv, morehb)
+                return morem, morea, morey, mored, moreha, morehb
+
+            morem, morea, morey, mored, moreha, morehb = grab(
+                aclip, hit_a, morem, morea, morey, mored, moreha, morehb)
+            morem, morea, morey, mored, moreha, morehb = grab(
+                bclip, hit_b, morem, morea, morey, mored, moreha, morehb)
+            if not reverse:
+                hgh = jnp.where(hit_a, aclip - 1, hgh)
+                low = jnp.where(hit_b, bclip + 1, low)
+            else:
+                low = jnp.where(hit_a, aclip + 1, low)
+                hgh = jnp.where(hit_b, bclip - 1, hgh)
+            stall_rest = jnp.where(clipped, 1, st["stall_rest"])
+
+            # band prune
+            k2 = b2(low) + jnp.remainder(slots1 - b2(low), W)
+            inb2 = k2 <= b2(hgh)
+            if not reverse:
+                ok = inb2 & (V >= b2(besta) - WAVE_LAG)
+            else:
+                ok = inb2 & (V <= b2(besta) + WAVE_LAG)
+            okpos = jnp.where(ok & (rel <= b2(hgh - low)), rel, -1)
+            hi_rel = jnp.max(okpos, axis=1)
+            lo_rel = jnp.min(jnp.where(okpos >= 0, okpos, W), axis=1)
+            have = hi_rel >= 0
+            hgh = jnp.where(snake_done & have, low + hi_rel, hgh)
+            low = jnp.where(snake_done & have,
+                            low + jnp.minimum(lo_rel, hi_rel), low)
+
+            # next-wave condition (evaluated after the wave, as the while
+            # cond would be before the next)
+            if reverse:
+                go = lasta <= besta + TRIM_MLAG
+            else:
+                go = lasta >= besta - TRIM_MLAG
+            live = jnp.where(snake_done,
+                             ((more == 1) & go & (ovfB == 0)).astype(i32),
+                             st["live"])
+            phase = jnp.where(snake_done, 0, phase)
+
+            st.update(V=V, M=M, NA=NA, NB=NB, HA=HA, HB=HB, MA=MA, MB=MB,
+                      Thi=Thi, Tlo=Tlo, sy=sy, sm=sm, sthi=sthi, stlo=stlo,
+                      wha=wha, whb=whb, wma=wma, wmb=wmb, sact=sact,
+                      sca=sca, scb=scb, low=low, hgh=hgh, dif=dif,
+                      more=more, besta=besta, besty=besty, lasta=lasta,
+                      trima=trima, trimy=trimy, trimd=trimd, trimha=trimha,
+                      trimhb=trimhb, morem=morem, morea=morea, morey=morey,
+                      mored=mored, moreha=moreha, morehb=morehb,
+                      overflow=ovfB, avail=avail, dcnt=dcnt, dbuf=dbuf,
+                      phase=phase, live=live, stall_reload=stall_reload,
+                      stall_rest=stall_rest, stall_dbuf=stall_dbuf)
+            return st
+
+        return jax.lax.while_loop(seg_cond, seg_body, st)
+
+    return seg
+
+
+# ---------------------------------------------------------------------------
+# XLA-side pieces: wave-0 prologue, plane reload, REACH rest, dbuf flush
+# ---------------------------------------------------------------------------
+
+
+def make_prologue(W, P, BW, DBUF, reverse):
+    """Per-lane wave-0 (ported from wave_jax's kernel prologue; reference
+    align.c:432-583/1090-1241): seed snake, initial pebbles, initial
+    best/trim and boundary clip.  Returns the lane's driver state."""
+    Wm = W - 1
+    sgn = -1 if reverse else 1
+    soff = -1 if reverse else 0
+    stepv = jnp.arange(SS, dtype=i32) * sgn
+
+    def prologue(abase, bbase, mida, k0, aoffp, boffp, Aflat, Bflat, ts):
+        TS = ts
+
+        def bchar(y):
+            return Bflat[bbase + y + soff]
+
+        def achar(x):
+            return Aflat[abase + x + soff]
+
+        y0 = jnp.right_shift(mida - k0, 1)
+        if not reverse:
+            na0 = ((y0 + k0 + (TS - aoffp)) // TS - 1) * TS + aoffp
+            nb0 = ((y0 + (TS - boffp)) // TS - 1) * TS + boffp
+            amark0, bmark0 = na0, nb0
+            na0 = na0 + TS
+            nb0 = nb0 + TS
+        else:
+            na0 = ((y0 + k0 + (TS - aoffp) - 1) // TS - 1) * TS + aoffp
+            nb0 = ((y0 + (TS - boffp) - 1) // TS - 1) * TS + boffp
+            amark0, bmark0 = y0 + k0, y0
+
+        pool = jnp.zeros((P, 4), i32)
+        pool = pool.at[0].set(jnp.stack([i32(-1), k0, i32(0), amark0]))
+        pool = pool.at[1].set(jnp.stack([i32(-1), k0, i32(0), bmark0]))
+        avail = i32(2)
+        ha0, hb0 = i32(0), i32(1)
+
+        def s0_cond(st):
+            y, stop, ca, cb = st
+            return ~stop
+
+        def s0_body(st):
+            y, stop, ca, cb = st
+            bwin = Bflat[jnp.clip(bbase + y + soff + stepv, 0,
+                                  Bflat.shape[0] - 1)]
+            awin = Aflat[jnp.clip(abase + y + k0 + soff + stepv, 0,
+                                  Aflat.shape[0] - 1)]
+            sbv = bwin == 4
+            misv = bwin != awin
+            advv = ((~sbv) & (~misv)).astype(i32)
+            pref = jnp.cumprod(advv)
+            nst = pref.sum()
+            prefx = jnp.concatenate([jnp.ones((1,), i32), pref[:-1]])
+            fs = (prefx * (1 - advv)).astype(bool)
+            sb = (fs & sbv).any()
+            sa = (fs & (~sbv) & misv & (awin == 4)).any()
+            return (y + sgn * nst, nst < SS, ca | sa, cb | sb)
+
+        y0f, _, clipA0, clipB0 = jax.lax.while_loop(
+            s0_cond, s0_body, (y0, jnp.bool_(False), jnp.bool_(False),
+                               jnp.bool_(False)))
+        c0 = (y0f << 1) + k0
+        more = ~(clipA0 | clipB0)
+        aclip = jnp.where(clipA0, k0, (-INT32_MAX if reverse else INT32_MAX))
+        bclip = jnp.where(clipB0, k0, (INT32_MAX if reverse else -INT32_MAX))
+
+        def d0_cond(st):
+            x, n, h, av, pl, mk = st
+            return (x <= n) if reverse else (x >= n)
+
+        def d0_body(st):
+            x, n, h, av, pl, mk = st
+            pl = pl.at[av].set(jnp.stack([h, k0, i32(0), n]), mode="drop")
+            return (x, n - TS if reverse else n + TS,
+                    jnp.where(av < P, av, h), av + 1, pl, n)
+
+        xA = y0f + k0
+        xA, na0, ha0, avail, pool, amk0 = jax.lax.while_loop(
+            d0_cond, d0_body, (xA, na0, ha0, avail, pool, amark0))
+        xB = y0f
+        xB, nb0, hb0, avail, pool, bmk0 = jax.lax.while_loop(
+            d0_cond, d0_body, (xB, nb0, hb0, avail, pool, bmark0))
+
+        better0 = (c0 < mida) if reverse else (c0 > mida)
+        besta = jnp.where(better0, c0, mida)
+        besty = jnp.where(better0, y0f, y0)
+        lasta = besta
+        trima, trimy = besta, besty
+        trimd = i32(0)
+        trimha = jnp.where(better0, ha0, i32(0))
+        trimhb = jnp.where(better0, hb0, i32(1))
+
+        fill = NEG_BIG if not reverse else INT32_MAX
+        V = jnp.full(W, fill, i32).at[k0 & Wm].set(c0)
+        Thi = jnp.full(W, np.uint32((1 << 28) - 1), u32)
+        Tlo = jnp.full(W, np.uint32(0xFFFFFFFF), u32)
+        M = jnp.full(W, PATH_LEN, i32)
+        NA = jnp.zeros(W, i32).at[k0 & Wm].set(na0)
+        NB = jnp.zeros(W, i32).at[k0 & Wm].set(nb0)
+        HA = jnp.zeros(W, i32).at[k0 & Wm].set(ha0)
+        HB = jnp.zeros(W, i32).at[k0 & Wm].set(hb0)
+        MA = jnp.zeros(W, i32).at[k0 & Wm].set(amk0)
+        MB = jnp.zeros(W, i32).at[k0 & Wm].set(bmk0)
+
+        low = k0
+        hgh = k0
+        morem = i32(-1)
+        morea = morey = mored = moreha = morehb = i32(0)
+
+        # wave-0 clip handling with direct REST evaluation (XLA gathers)
+        clipped = ~more
+        rest = (bchar(besty) != 4) & (achar(besta - besty) != 4)
+        if not reverse:
+            hit_a = clipped & (hgh >= aclip)
+            hit_b = clipped & (low <= bclip)
+        else:
+            hit_a = clipped & (low <= aclip)
+            hit_b = clipped & (hgh >= bclip)
+
+        def grab(kc, morem, morea, morey, moreha, morehb, hit):
+            s = kc & Wm
+            upd = hit & (morem <= M[s])
+            morem = jnp.where(upd, M[s], morem)
+            morea = jnp.where(upd, V[s], morea)
+            morey = jnp.where(upd, (V[s] - kc) // 2, morey)
+            moreha = jnp.where(upd, HA[s], moreha)
+            morehb = jnp.where(upd, HB[s], morehb)
+            return morem, morea, morey, moreha, morehb
+
+        morem, morea, morey, moreha, morehb = grab(
+            aclip, morem, morea, morey, moreha, morehb, hit_a)
+        morem, morea, morey, moreha, morehb = grab(
+            bclip, morem, morea, morey, moreha, morehb, hit_b)
+        if not reverse:
+            hgh = jnp.where(hit_a, aclip - 1, hgh)
+            low = jnp.where(hit_b, bclip + 1, low)
+        else:
+            low = jnp.where(hit_a, aclip + 1, low)
+            hgh = jnp.where(hit_b, bclip - 1, hgh)
+        more = jnp.where(clipped, rest, more)
+
+        overflow = i32(0)
+        live = (more & jnp.bool_(True)).astype(i32)   # TRIM lag trivially ok
+
+        out = dict(V=V, M=M, NA=NA, NB=NB, HA=HA, HB=HB, MA=MA, MB=MB,
+                   Thi=Thi, Tlo=Tlo,
+                   sy=jnp.zeros(W, i32), sm=jnp.zeros(W, i32),
+                   sthi=jnp.zeros(W, u32), stlo=jnp.zeros(W, u32),
+                   wha=jnp.zeros(W, i32), whb=jnp.zeros(W, i32),
+                   wma=jnp.zeros(W, i32), wmb=jnp.zeros(W, i32),
+                   sact=jnp.zeros(W, i32), sca=jnp.zeros(W, i32),
+                   scb=jnp.zeros(W, i32),
+                   low=low, hgh=hgh, dif=i32(0), more=more.astype(i32),
+                   besta=besta, besty=besty, lasta=lasta, trima=trima,
+                   trimy=trimy, trimd=trimd, trimha=trimha, trimhb=trimhb,
+                   morem=morem, morea=morea, morey=morey, mored=mored,
+                   moreha=moreha, morehb=morehb, overflow=overflow,
+                   avail=avail, banchor=i32(-(1 << 30)),
+                   kanchor=i32(-(1 << 30)), phase=i32(0), live=live,
+                   stall_reload=live, stall_rest=i32(0),
+                   stall_dbuf=i32(0), dcnt=i32(0),
+                   abase=abase, bbase=bbase, aoffp=aoffp, boffp=boffp,
+                   codeN=jnp.zeros((W, BW), i32),
+                   codeW=jnp.zeros((W, BW), i32),
+                   dbuf=jnp.zeros((DBUF, 4), i32))
+        return out, pool
+
+    return prologue
+
+
+def make_reload(W, BW, reverse):
+    """Per-lane plane (re)build from the big sequence arrays (XLA; ported
+    from wave_jax._reload)."""
+    AW = BW + 2 * W
+    soff = -1 if reverse else 0
+    jidxr = jnp.arange(BW, dtype=i32)
+    BIGC = i32(1 << 30)
+
+    def reload(abase, bbase, yref, low, hgh, anyact, Aflat, Bflat):
+        LB = Bflat.shape[0]
+        LA = Aflat.shape[0]
+        if not reverse:
+            banchor = bbase + (yref - 4) + soff
+            kanchor = W * (low // W)
+            astart = banchor + (abase - bbase) + kanchor
+            bs = jnp.clip(banchor, 0, LB - BW)
+            as_ = jnp.clip(astart, 0, LA - AW)
+            bad = anyact & ((bs != banchor) | (as_ != astart))
+            bwin = jax.lax.dynamic_slice(Bflat, (bs,), (BW,))
+            awin = jax.lax.dynamic_slice(Aflat, (as_,), (AW,))
+            banchor = bs
+            offs = list(range(W))
+        else:
+            banchor = bbase + (yref + 4) + soff
+            kanchor = W * ((hgh + W) // W)
+            atop = banchor + (abase - bbase) + kanchor
+            bs = jnp.clip(banchor - (BW - 1), 0, LB - BW)
+            as_ = jnp.clip(atop - (AW - 1), 0, LA - AW)
+            bad = anyact & ((bs != banchor - (BW - 1)) |
+                            (as_ != atop - (AW - 1)))
+            banchor = bs + (BW - 1)
+            bwin = jnp.flip(jax.lax.dynamic_slice(Bflat, (bs,), (BW,)))
+            awin = jnp.flip(jax.lax.dynamic_slice(Aflat, (as_,), (AW,)))
+            offs = [W if s == 0 else W - s for s in range(W)]
+        aw2 = jnp.stack([awin[o:o + BW + W] for o in offs])
+        awN = aw2[:, :BW]
+        awW = aw2[:, W:W + BW]
+        b4 = (bwin == 4)[None, :]
+
+        def code(aw):
+            stop = b4 | (bwin[None, :] != aw)
+            val = ((jidxr[None, :] << 2) | (b4.astype(i32) << 1) |
+                   (aw == 4).astype(i32))
+            return jnp.where(stop, val, BIGC)
+
+        return code(awN), code(awW), banchor, kanchor, bad
+
+    return reload
+
+
+# ---------------------------------------------------------------------------
+# driver: prologue -> [reload planes; segment; flush drops]* -> outputs
+# ---------------------------------------------------------------------------
+
+
+def make_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
+                interpret=False):
+    seg = make_segment(W, BW, P, DBUF, reverse)
+    prologue = make_prologue(W, P, BW, DBUF, reverse)
+    reload_ = make_reload(W, BW, reverse)
+
+    def segment_xla(st, ts, pave, msc, dsc):
+        return seg(st, ts, pave, msc, dsc)
+
+    def segment_pallas(st, ts, pave, msc, dsc):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        B = st["V"].shape[0]
+        names = list(ORDER)
+        consts = jnp.stack([ts, pave, msc, dsc]).astype(i32)
+
+        # rank-1 blocks must tile to 128 on TPU: carry per-lane scalars as
+        # (B, 1) and squeeze inside the kernel
+        def arg(nm):
+            return st[nm][:, None] if nm in SCALARS else st[nm]
+
+        def kernel(*refs):
+            ins = refs[:len(names) + 1]
+            outs = refs[len(names) + 1:]
+            stk = {}
+            for ix, nm in enumerate(names):
+                v = ins[ix][...]
+                stk[nm] = v[:, 0] if nm in SCALARS else v
+            cns = ins[len(names)][...]
+            res = seg(stk, cns[0, 0], cns[0, 1], cns[0, 2], cns[0, 3])
+            for ix, nm in enumerate(names):
+                outs[ix][...] = (res[nm][:, None] if nm in SCALARS
+                                 else res[nm])
+
+        def bspec(nm):
+            shp = st[nm].shape[1:]
+            if nm in SCALARS:
+                return pl.BlockSpec((G, 1), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+            if len(shp) == 1:
+                return pl.BlockSpec((G, shp[0]), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+            return pl.BlockSpec((G,) + shp, lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        in_specs = [bspec(nm) for nm in names]
+        in_specs.append(pl.BlockSpec((1, 4), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        out_specs = tuple(bspec(nm) for nm in names)
+
+        def oshape(nm):
+            if nm in SCALARS:
+                return jax.ShapeDtypeStruct((B, 1), st[nm].dtype)
+            return jax.ShapeDtypeStruct(st[nm].shape, st[nm].dtype)
+
+        out_shape = tuple(oshape(nm) for nm in names)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(B // G,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            input_output_aliases={ix: ix for ix in range(len(names))},
+            interpret=interpret,
+        )(*[arg(nm) for nm in names], consts[None, :])
+        res = {}
+        for nm, v in zip(names, outs):
+            res[nm] = v[:, 0] if nm in SCALARS else v
+        return res
+
+    segment = segment_pallas if use_pallas else segment_xla
+    soff = -1 if reverse else 0
+    _maxit = int(os.environ.get("DAMAPPER_PALLAS_MAXIT", 0))
+
+    def driver(abase, bbase, mida, k0, aoffp, boffp, Aflat, Bflat,
+               ts, pave, msc, dsc):
+        st1, pool = jax.vmap(
+            prologue, in_axes=(0, 0, 0, 0, 0, 0, None, None, None)
+        )(abase, bbase, mida, k0, aoffp, boffp, Aflat, Bflat, ts)
+        st1 = dict(st1, _it=jnp.zeros((), i32))
+
+        def cond(c):
+            st, pool = c
+            go = (st["live"] == 1).any()
+            if _maxit:
+                go = go & (st["_it"] < _maxit)
+            return go
+
+        def body(c):
+            st, pool = c
+            st = dict(st, _it=st["_it"] + 1)
+            # resolve deferred REACH rest tests (needs 2 sequence bytes)
+            sr = st["stall_rest"] == 1
+            yb = st["besty"]
+            xb = st["besta"] - yb
+            bch = Bflat[jnp.clip(st["bbase"] + yb + soff, 0,
+                                 Bflat.shape[0] - 1)]
+            ach = Aflat[jnp.clip(st["abase"] + xb + soff, 0,
+                                 Aflat.shape[0] - 1)]
+            rest = (bch != 4) & (ach != 4)
+            if reverse:
+                go = st["lasta"] <= st["besta"] + TRIM_MLAG
+            else:
+                go = st["lasta"] >= st["besta"] - TRIM_MLAG
+            more = jnp.where(sr, rest.astype(i32), st["more"])
+            live = jnp.where(
+                sr, (rest & go & (st["overflow"] == 0)).astype(i32),
+                st["live"])
+
+            # rebuild planes for every live lane (cheap; planes are
+            # caches).  Anchor mid-snake lanes at their ACTIVE snake
+            # positions only - mixing in the committed band's older y
+            # values anchors the window too low and livelocks the stall
+            act = st["sact"] == 1
+            inph = (st["phase"] == 1)[:, None]
+            fillv = INT32_MAX if not reverse else -INT32_MAX
+            kk = st["low"][:, None] + jnp.remainder(
+                jnp.arange(W, dtype=i32)[None] - st["low"][:, None], W)
+            inb = kk <= st["hgh"][:, None]
+            vvalid = inb & (st["V"] != (INT32_MAX if reverse else NEG_BIG))
+            yact = jnp.where(inph & act, st["sy"], fillv)
+            yv = jnp.where(vvalid, (st["V"] - kk) >> 1, fillv)
+            have_act = (inph & act).any(axis=1)
+            if not reverse:
+                yref = jnp.where(have_act, jnp.min(yact, axis=1),
+                                 jnp.min(yv, axis=1))
+            else:
+                yref = jnp.where(have_act, jnp.max(yact, axis=1),
+                                 jnp.max(yv, axis=1))
+            codeN, codeW, banchor, kanchor, bad = jax.vmap(
+                reload_, in_axes=(0, 0, 0, 0, 0, 0, None, None)
+            )(st["abase"], st["bbase"], yref, st["low"], st["hgh"],
+              live == 1, Aflat, Bflat)
+            overflow = jnp.where(bad, 1, st["overflow"])
+            live = jnp.where(bad, 0, live)
+
+            st = dict(st, more=more, live=live, overflow=overflow,
+                      codeN=codeN, codeW=codeW, banchor=banchor,
+                      kanchor=kanchor,
+                      stall_reload=jnp.zeros_like(live),
+                      stall_rest=jnp.zeros_like(live),
+                      stall_dbuf=jnp.zeros_like(live))
+
+            _it = st.pop("_it")
+            st = dict(segment(st, ts, pave, msc, dsc), _it=_it)
+
+            # flush the drop buffers into the pool
+            r = jnp.arange(DBUF, dtype=i32)[None, :]
+            base = (st["avail"] - st["dcnt"])[:, None]
+            widx = jnp.where(r < st["dcnt"][:, None], base + r, P)
+            pool = jax.vmap(
+                lambda pl_, w, rows: pl_.at[w].set(rows, mode="drop")
+            )(pool, widx, st["dbuf"])
+            st = dict(st, dcnt=jnp.zeros_like(st["dcnt"]))
+            return (st, pool)
+
+        st, pool = jax.lax.while_loop(cond, body, (st1, pool))
+        return dict(trima=st["trima"], trimy=st["trimy"], trimd=st["trimd"],
+                    trimha=st["trimha"], trimhb=st["trimhb"],
+                    morem=st["morem"], morea=st["morea"],
+                    morey=st["morey"], mored=st["mored"],
+                    moreha=st["moreha"], morehb=st["morehb"], pool=pool,
+                    avail=st["avail"],
+                    overflow=st["overflow"].astype(bool),
+                    waves=st["dif"])
+
+    return driver
+
+
+_DRIVER_CACHE = {}
+
+
+def _cached_driver(key, builder):
+    if key not in _DRIVER_CACHE:
+        _DRIVER_CACHE[key] = jax.jit(builder())
+    return _DRIVER_CACHE[key]
+
+
+class PallasWaveEngine:
+    """Drop-in WaveEngine whose _run uses the segment driver (pallas on
+    accelerators, the identical XLA path on CPU).  All host-side logic
+    (bucketing, trace extraction, fshort/rshort refinement, fallback) is
+    inherited from WaveEngine."""
+
+    def __new__(cls, spec, band_cap=64, pool_cap=2048, mesh=None,
+                use_pallas=None, interpret=False, group=8):
+        from . import wave_jax
+
+        if use_pallas is None:
+            use_pallas = jax.devices()[0].platform != "cpu"
+
+        class _Engine(wave_jax.WaveEngine):
+            def _get_fns(self, P):
+                if P not in self._fns:
+                    common = (self.W, P, self._BW, self._DBUF, group,
+                              use_pallas, interpret)
+                    fwd = _cached_driver(
+                        common + (False,),
+                        lambda: make_driver(self.W, P, self._BW,
+                                            self._DBUF, group,
+                                            reverse=False,
+                                            use_pallas=use_pallas,
+                                            interpret=interpret))
+                    rev = _cached_driver(
+                        common + (True,),
+                        lambda: make_driver(self.W, P, self._BW,
+                                            self._DBUF, group,
+                                            reverse=True,
+                                            use_pallas=use_pallas,
+                                            interpret=interpret))
+                    self._fns[P] = (fwd, rev)
+                return self._fns[P]
+
+        eng = _Engine(spec, band_cap=band_cap, pool_cap=pool_cap, mesh=mesh)
+        eng._BW = max(128, band_cap + 64)
+        eng._DBUF = 192
+        return eng

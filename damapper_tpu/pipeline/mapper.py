@@ -43,12 +43,13 @@ def _auto_mesh():
 
 
 def _auto_backend() -> str:
-    """Pick the wave backend: the batched device engine when an accelerator
-    is attached, the host oracle otherwise.  Override with DAMAPPER_WAVE."""
+    """Pick the wave backend: the pallas segment engine when an accelerator
+    is attached, the host oracle otherwise.  Override with DAMAPPER_WAVE
+    (oracle | jax | pallas)."""
     try:
         import jax
         if jax.devices()[0].platform != "cpu":
-            return "jax"
+            return "pallas"
     except Exception:
         pass
     return "oracle"
@@ -160,12 +161,16 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
                           [], cfg.kmer)
 
     engine = None
-    if cfg.wave_backend == "jax":
-        from ..ops.wave_jax import WaveEngine
+    if cfg.wave_backend in ("jax", "pallas"):
         mesh = cfg.mesh
         if mesh == "auto":
             mesh = _auto_mesh()
-        engine = WaveEngine(spec, mesh=mesh)
+        if cfg.wave_backend == "pallas":
+            from ..ops.wave_pallas import PallasWaveEngine
+            engine = PallasWaveEngine(spec, mesh=mesh)
+        else:
+            from ..ops.wave_jax import WaveEngine
+            engine = WaveEngine(spec, mesh=mesh)
     rep = Reporter(spec, cfg.kmer, cfg.spacing, cfg.best_tie,
                    do_a=cfg.do_a, do_b=cfg.do_b, engine=engine)
     profile_out = [] if cfg.profile else None

@@ -106,3 +106,26 @@ def test_wave_jax_boundary_reach():
                (ga.abpos, ga.bbpos, ga.aepos, ga.bepos, ga.diffs)
         assert list(ea.trace) == list(ga.trace)
         assert list(eb.trace) == list(gb.trace)
+
+
+@pytest.mark.parametrize("seed,err", [(0, 0.15), (3, 0.30)])
+def test_wave_pallas_matches_oracle(seed, err):
+    """The segment-driver engine (pallas on TPU, identical XLA path on CPU)
+    must reproduce the oracle exactly, like the while-loop engine."""
+    from damapper_tpu.ops.wave_pallas import PallasWaveEngine
+
+    seqmem, insts = make_cases(1000 + seed, ncases=4, err=err)
+    spec = new_align_spec(0.85, 100, [.25, .25, .25, .25], True)
+    eng = PallasWaveEngine(spec, band_cap=64, pool_cap=2048)
+    dev = jnp.asarray(seqmem)
+    got = eng.local_alignment_batch(dev, dev, seqmem, seqmem, insts)
+    for i, s in enumerate(insts):
+        a_np = seqmem[s["abase"]:s["abase"] + s["alen"]]
+        b_np = seqmem[s["bbase"]:s["bbase"] + s["blen"]]
+        ea, eb = wave.local_alignment(a_np, b_np, spec, s["diag"], s["diag"],
+                                      s["anti"], -1, -1, s["flags"])
+        ga, gb = got[i]
+        assert (ea.abpos, ea.bbpos, ea.aepos, ea.bepos, ea.diffs) == \
+               (ga.abpos, ga.bbpos, ga.aepos, ga.bepos, ga.diffs), f"case {i}"
+        assert list(ea.trace) == list(ga.trace), f"case {i} A trace"
+        assert list(eb.trace) == list(gb.trace), f"case {i} B trace"
