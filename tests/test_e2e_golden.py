@@ -113,3 +113,56 @@ def test_e2e_jax_wave_backend(tmp_path):
     assert len(grecs) > 0
     d = diff_las(grecs, orecs)
     assert not d, d
+
+
+def test_e2e_dual_output(tmp_path):
+    """-C: both Y.X.las and X.Y.las must match the reference
+    (damapper.c:709-725 C-flag semantics)."""
+    (tmp_path / "ours").mkdir()
+    make_dataset(tmp_path, seed=17, glen=60_000, ncontigs=2, nreads=10,
+                 bsize=40_000)
+    golden_a = helpers.run_reference_damapper(tmp_path, "ref.dam",
+                                              "reads.db", ["-k20", "-C"])
+    golden_b = tmp_path / "ref.reads.las"
+    cfg = DamapperConfig(do_b=True)
+    ours_a, ours_b = run_damapper(str(tmp_path / "ref.dam"),
+                                  str(tmp_path / "reads.db"), cfg,
+                                  out_dir=str(tmp_path / "ours"))
+    for gp, op in ((golden_a, ours_a), (golden_b, ours_b)):
+        grecs, gts = lasio.read_las(str(gp))
+        orecs, ots = lasio.read_las(str(op))
+        assert gts == ots
+        assert len(grecs) > 0
+        d = diff_las(grecs, orecs)
+        assert not d, f"{gp}: {d}"
+
+
+def test_e2e_profile_track(tmp_path):
+    """-p: the repeat-profile track (.reads.prof.anno/.data) must match the
+    reference byte for byte (map.c:3297-3318)."""
+    (tmp_path / "ours").mkdir()
+    make_dataset(tmp_path, seed=19, glen=60_000, ncontigs=2, nreads=10,
+                 bsize=40_000)
+    helpers.run_reference_damapper(tmp_path, "ref.dam", "reads.db",
+                                   ["-k20", "-p"])
+    cfg = DamapperConfig(profile=True)
+    run_damapper(str(tmp_path / "ref.dam"), str(tmp_path / "reads.db"),
+                 cfg, out_dir=str(tmp_path / "ours"))
+    for ext in (".prof.anno", ".prof.data"):
+        g = (tmp_path / f".reads{ext}").read_bytes()
+        o = (tmp_path / "ours" / f".reads{ext}").read_bytes()
+        assert g == o, f"profile track {ext} differs " \
+                       f"({len(g)} vs {len(o)} bytes)"
+
+
+def test_e2e_pallas_wave_backend(tmp_path):
+    """The pallas segment engine must reproduce the reference .las
+    (runs the identical segment code under XLA on the CPU test mesh)."""
+    (tmp_path / "ours").mkdir()
+    make_dataset(tmp_path, seed=23, glen=24_000, ncontigs=2, nreads=6,
+                 bsize=14_000, max_len=3500)
+    grecs, orecs = run_both(tmp_path, ["-k20", "-T4"],
+                            DamapperConfig(wave_backend="pallas"))
+    assert len(grecs) > 0
+    d = diff_las(grecs, orecs)
+    assert not d, d
