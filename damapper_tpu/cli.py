@@ -8,6 +8,8 @@
     python -m damapper_tpu.cli lashow    [...]   — view .las records/alignments (LAshow equivalent)
     python -m damapper_tpu.cli fasta2dam [...]   — import a fasta as a .dam
     python -m damapper_tpu.cli fasta2db  [...]   — import a fasta as a .db
+    python -m damapper_tpu.cli dbsplit   [...]   — re-partition a DB/DAM (DBsplit equivalent)
+    python -m damapper_tpu.cli dbshow    [...]   — print reads as fasta (DBshow equivalent)
     python -m damapper_tpu.cli plan      [...]   — emit an execution plan (HPC.damapper equivalent)
 """
 
@@ -115,6 +117,55 @@ def _main_lacheck(argv: list[str]) -> int:
     return rc
 
 
+def _main_dbsplit(argv: list[str]) -> int:
+    from .io import db as dbio
+    bsize = cutoff = None
+    allw = None
+    args = []
+    for a in argv:
+        if a.startswith("-s"):
+            bsize = int(float(a[2:]) * 1_000_000)
+        elif a.startswith("-x"):
+            cutoff = int(a[2:])
+        elif a == "-a":
+            allw = True
+        elif a.startswith("-"):
+            print(f"dbsplit: {a} is an illegal option", file=sys.stderr)
+            return 1
+        else:
+            args.append(a)
+    if len(args) != 1:
+        print("Usage: dbsplit [-a] [-x<int>] [-s<double:Mbp>] <path:db|dam>",
+              file=sys.stderr)
+        return 1
+    n = dbio.dbsplit(args[0], bsize, cutoff, allw)
+    print(f"{args[0]}: {n} blocks", file=sys.stderr)
+    return 0
+
+
+def _main_dbshow(argv: list[str]) -> int:
+    from .io import db as dbio
+    width, upper = 80, False
+    args = []
+    for a in argv:
+        if a.startswith("-w"):
+            width = int(a[2:])
+        elif a == "-U":
+            upper = True
+        elif a.startswith("-") and not a[1:].isdigit():
+            print(f"dbshow: {a} is an illegal option", file=sys.stderr)
+            return 1
+        else:
+            args.append(a)
+    if not args:
+        print("Usage: dbshow [-U] [-w<int>] <path:db|dam> [reads...]",
+              file=sys.stderr)
+        return 1
+    sel = [int(x) for x in args[1:]] or None
+    dbio.dbshow(args[0], sel, width, upper)
+    return 0
+
+
 def _main_fasta2dam(argv: list[str]) -> int:
     from .io import db as dbio
     from .io import fasta
@@ -158,6 +209,8 @@ def main(argv=None) -> int:
         "lacheck": _main_lacheck,
         "fasta2dam": _main_fasta2dam,
         "fasta2db": _main_fasta2db,
+        "dbsplit": _main_dbsplit,
+        "dbshow": _main_dbshow,
     }
     if cmd not in table:
         print(f"unknown command {cmd}", file=sys.stderr)

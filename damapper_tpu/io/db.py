@@ -639,3 +639,74 @@ def load_all_arrows(db: "DazzDB") -> list[np.ndarray]:
         return [tr.load(i) for i in range(db.nreads)]
     finally:
         tr.close()
+
+
+def dbsplit(path: str, bsize: int | None = None, cutoff: int | None = None,
+            all_wells: bool | None = None) -> int:
+    """Re-partition an existing DB/DAM (DBsplit equivalent): recompute the
+    block table in the stub with new -s/-x/-a parameters, keeping the
+    hidden files untouched.  Returns the new block count."""
+    pwd, root, isdam = _split_db_path(path)
+    root, _ = _strip_part(root)
+    ext = ".dam" if isdam else ".db"
+    stubp = os.path.join(pwd, root + ext)
+    stub = read_stub(stubp)
+    if bsize is None:
+        bsize = stub.bsize
+    if cutoff is None:
+        cutoff = stub.cutoff
+    if all_wells is None:
+        all_wells = bool(stub.all)
+
+    with open(os.path.join(pwd, "." + root + ".idx"), "rb") as fp:
+        fp.seek(HEADER_DTYPE.itemsize)
+        reads = np.frombuffer(fp.read(), READ_DTYPE)
+    rlens = reads["rlen"]
+    allflag = 0 if all_wells else DB_BEST
+    tkeep = ((reads["flags"] & DB_BEST) >= allflag) & (rlens >= cutoff)
+
+    ublocks, tblocks = [0], [0]
+    acc = tcount = 0
+    for i in range(len(reads)):
+        if tkeep[i]:
+            acc += int(rlens[i])
+            tcount += 1
+            if acc >= bsize:
+                ublocks.append(i + 1)
+                tblocks.append(tcount)
+                acc = 0
+    if ublocks[-1] != len(reads):
+        ublocks.append(len(reads))
+        tblocks.append(tcount)
+
+    stub.bsize = bsize
+    stub.cutoff = cutoff
+    stub.all = 1 if all_wells else 0
+    stub.nblocks = len(ublocks) - 1
+    stub.ublocks = ublocks
+    stub.tblocks = tblocks
+    write_stub(stubp, stub)
+    return stub.nblocks
+
+
+def dbshow(path: str, reads_sel=None, width: int = 80, upper: bool = False,
+           out=None) -> None:
+    """Print reads as FASTA (DBshow equivalent).  reads_sel: 1-based read
+    numbers (trimmed index), default all."""
+    import sys as _sys
+    out = out or _sys.stdout
+    db = DazzDB.open(path)
+    db.trim()
+    db.load_bases()
+    idxs = range(1, db.nreads + 1) if not reads_sel else reads_sel
+    for r in idxs:
+        i = r - 1
+        if i < 0 or i >= db.nreads:
+            raise ValueError(f"{r} is out of range [1, {db.nreads}]")
+        seq = numeric_to_seq(db.read_seq(i), upper=upper)
+        origin = int(db.reads["origin"][i])
+        fp = int(db.reads["fpulse"][i])
+        out.write(f">{os.path.basename(db.path)[1:]}/{origin}/"
+                  f"{fp}_{fp + len(seq)}\n")
+        for j in range(0, len(seq), width):
+            out.write(seq[j:j + width] + "\n")

@@ -116,7 +116,18 @@ def match_seeds(aidx: KmerIndex, bidx: KmerIndex,
     bread = bidx.read[b_rows]
     diag = apos - bidx.rpos[b_rows]
 
-    order = np.lexsort((apos, bread, aread))   # stable; matches radix passes
+    # single-key stable sort instead of a 3-key np.lexsort: pack
+    # (aread, bread, apos) into one uint64 (21+11+32 bits); a stable
+    # argsort preserves the emission order of exact ties like the
+    # reference's stable radix passes
+    if (aread.max(initial=0) < (1 << 21)
+            and bread.max(initial=0) < (1 << 11)):
+        key = ((aread.astype(np.uint64) << 43)
+               | (bread.astype(np.uint64) << 32)
+               | apos.astype(np.uint64))
+        order = np.argsort(key, kind="stable")
+    else:
+        order = np.lexsort((apos, bread, aread))
     return SeedHits(aread[order].astype(np.int32),
                     bread[order].astype(np.int32),
                     apos[order].astype(np.int32),

@@ -158,3 +158,50 @@ def test_arrow_pseudo_track(tmp_path):
     db.trimmed = True
     with pytest.raises(ValueError):
         dbio.open_arrow(db)
+
+
+def test_dbsplit_repartition(tmp_path):
+    """DBsplit equivalent: re-partition with new -s/-x and map correctly
+    against the new block structure."""
+    import numpy as np
+    from damapper_tpu.io import db as dbio
+    from damapper_tpu.io import fasta
+    from tests import helpers
+
+    rng = np.random.default_rng(31)
+    genome = helpers.sim_genome(rng, 60_000)
+    entries = [fasta.FastaEntry(f"c{i}", genome[i * 20_000:(i + 1) * 20_000])
+               for i in range(3)]
+    path = str(tmp_path / "ref.dam")
+    dbio.create_dam(path, entries, bsize=200_000_000)
+    assert dbio.read_stub(path).nblocks == 1
+    n = dbio.dbsplit(path, bsize=25_000)
+    # blocks fill until >= bsize: [c0,c1][c2] (DBsplit accumulate rule)
+    assert n == dbio.read_stub(path).nblocks == 2
+    # cutoff repartition drops short contigs from the trimmed view
+    entries2 = entries + [fasta.FastaEntry("tiny", genome[:900])]
+    path2 = str(tmp_path / "ref2.dam")
+    dbio.create_dam(path2, entries2, bsize=200_000_000)
+    dbio.dbsplit(path2, bsize=25_000, cutoff=1000)
+    db = dbio.DazzDB.open(path2)
+    db.trim()
+    assert db.nreads == 3
+
+
+def test_dbshow_fasta(tmp_path, capsys):
+    import numpy as np
+    from damapper_tpu.io import db as dbio
+    from damapper_tpu.io import fasta
+    from tests import helpers
+
+    rng = np.random.default_rng(32)
+    seqs = [helpers.sim_genome(rng, 130) for _ in range(3)]
+    path = str(tmp_path / "r.db")
+    dbio.create_db(path, [fasta.FastaEntry(f"r{i}", s)
+                          for i, s in enumerate(seqs)])
+    import io as _io
+    buf = _io.StringIO()
+    dbio.dbshow(path, [2], width=60, out=buf)
+    out = buf.getvalue().splitlines()
+    assert out[0].startswith(">")
+    assert "".join(out[1:]) == seqs[1].lower()
