@@ -17,7 +17,7 @@ def _build(name: str) -> pathlib.Path:
         return so
     tmp = so.with_suffix(".so.tmp%d" % os.getpid())
     subprocess.run(
-        ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+        ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
          "-o", str(tmp), str(src)],
         check=True, capture_output=True)
     os.replace(tmp, so)
@@ -48,3 +48,67 @@ def chain_lib():
         lib.result_free.argtypes = [ctypes.c_void_p]
         _chain_lib = lib
     return _chain_lib
+
+
+_radix_lib = None
+
+
+def radix_lib():
+    """ctypes handle to the threaded radix sort (lazy build)."""
+    global _radix_lib
+    if _radix_lib is None:
+        lib = ctypes.CDLL(str(_build("radix_sort")))
+        lib.radix_sort_u64.restype = ctypes.c_int
+        lib.radix_sort_u64.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_uint64]
+        _radix_lib = lib
+    return _radix_lib
+
+
+def radix_sort_u64(key, nthreads: int = 0, active_mask: int = None):
+    """Sort a uint64 numpy array ascending in place (stable threaded LSD
+    radix, the lex_sort equivalent).  Falls back to np.sort when the
+    native library is unavailable."""
+    import numpy as np
+
+    n = len(key)
+    if n <= 1:
+        return key
+    if nthreads <= 0:
+        nthreads = min(8, os.cpu_count() or 4)
+    if active_mask is None:
+        active_mask = int(np.bitwise_or.reduce(
+            key[:: max(1, n // 4096)]).item() | int(key.max()))
+    try:
+        lib = radix_lib()
+    except Exception:
+        key.sort()
+        return key
+    tmp = np.empty_like(key)
+    r = lib.radix_sort_u64(key.ctypes.data, tmp.ctypes.data, n, nthreads,
+                           ctypes.c_uint64(active_mask & ((1 << 64) - 1)))
+    if r == 1:
+        np.copyto(key, tmp)
+    return key
+
+
+_kmer_lib = None
+
+
+def kmer_lib():
+    """ctypes handle to the native k-mer index builder (lazy build)."""
+    global _kmer_lib
+    if _kmer_lib is None:
+        lib = ctypes.CDLL(str(_build("kmer_index")))
+        lib.kmer_count.restype = ctypes.c_int64
+        lib.kmer_count.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                                   ctypes.c_int, ctypes.c_void_p,
+                                   ctypes.c_void_p, ctypes.c_void_p]
+        lib.kmer_index.restype = None
+        lib.kmer_index.argtypes = [ctypes.c_void_p] * 3 + [
+            ctypes.c_int32, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+        _kmer_lib = lib
+    return _kmer_lib

@@ -29,16 +29,19 @@ class KmerIndex:
 
 def _rolling_codes(seq: np.ndarray, kmer: int) -> np.ndarray:
     """codes[j] = 2-bit big-endian code of seq[j : j+kmer], for j in
-    [0, len-kmer]."""
+    [0, len-kmer].  In-place shift/or: temporaries dominate at Mbp scale
+    on low-memory-bandwidth hosts."""
     n = len(seq) - kmer + 1
     if n <= 0:
         return np.zeros(0, np.uint64)
     c = np.zeros(n, np.uint64)
     s = seq.astype(np.uint64)
+    two = np.uint64(2)
     for x in range(kmer):
-        c = (c << np.uint64(2)) | s[x:x + n]
+        np.left_shift(c, two, out=c)
+        np.bitwise_or(c, s[x:x + n], out=c)
     if kmer < 32:
-        c &= np.uint64((1 << (2 * kmer)) - 1)
+        np.bitwise_and(c, np.uint64((1 << (2 * kmer)) - 1), out=c)
     return c
 
 
@@ -80,18 +83,77 @@ def extract_kmers(db, kmer: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
             np.concatenate(rposs))
 
 
+def _native_index(db, kmer: int):
+    """Fused extract+sort via the native builder (tuple_thread + lex_sort
+    equivalent, damapper_tpu/native/kmer_index.cpp).  Returns None when the
+    native path is unavailable or the packing bound is exceeded."""
+    import os
+
+    try:
+        from ..native import kmer_lib
+        lib = kmer_lib()
+    except Exception:
+        return None
+    idx_bits = 64 - 2 * kmer
+    if idx_bits <= 0 or db.seq is None:
+        return None
+    track = next(iter(db.tracks.values())) if db.tracks else None
+    nreads = db.nreads
+    boffs = np.ascontiguousarray(db.reads["boff"], np.int64)
+    rlens = np.ascontiguousarray(db.reads["rlen"], np.int32)
+    if track is not None:
+        anno = np.ascontiguousarray(track[0], np.int64)
+        data = np.ascontiguousarray(track[1], np.int32)
+        ap, dp = anno.ctypes.data, data.ctypes.data
+    else:
+        anno = data = None
+        ap = dp = None
+    offs = np.empty(nreads + 1, np.int64)
+    total = lib.kmer_count(rlens.ctypes.data, nreads, kmer, ap, dp,
+                           offs.ctypes.data)
+    if total >= (1 << idx_bits):
+        return None
+    codes = np.empty(total, np.uint64)
+    reads = np.empty(total, np.int32)
+    rposs = np.empty(total, np.int32)
+    seq = db.seq
+    assert seq.flags["C_CONTIGUOUS"]
+    lib.kmer_index(seq.ctypes.data, boffs.ctypes.data, rlens.ctypes.data,
+                   nreads, kmer, ap, dp, offs.ctypes.data,
+                   codes.ctypes.data, reads.ctypes.data, rposs.ctypes.data,
+                   idx_bits, min(8, os.cpu_count() or 4))
+    return codes, reads, rposs
+
+
 def sort_kmers(db, kmer: int, suppress: int = 0) -> KmerIndex:
     """Build the sorted, culled k-mer index of a block (Sort_Kmers map.c:655).
     suppress=0 means no culling (-t absent)."""
+    nat = _native_index(db, kmer)
+    if nat is not None:
+        code, read, rpos = nat
+        if suppress and len(code):
+            boundaries = np.flatnonzero(np.diff(code)) + 1
+            starts = np.concatenate([[0], boundaries])
+            ends = np.concatenate([boundaries, [len(code)]])
+            counts = ends - starts
+            keep = np.repeat(counts < suppress, counts)
+            code, read, rpos = code[keep], read[keep], rpos[keep]
+        return KmerIndex(code, read, rpos)
+
     code, read, rpos = extract_kmers(db, kmer)
     n = len(code)
-    if kmer <= 21 and n < (1 << 22):
-        # pack (code, emission index) into one uint64 and plain-sort:
-        # much faster than a stable argsort and identical order (the index
-        # low bits preserve stability)
-        key = (code << np.uint64(22)) | np.arange(n, dtype=np.uint64)
+    idx_bits = 64 - 2 * kmer
+    if idx_bits >= 63:
+        idx_bits = 62
+    if n < (1 << idx_bits):
+        # pack (code, emission index) into one uint64 and plain-sort
+        # (numpy's SIMD sort), all in place: much faster than a stable
+        # argsort and identical order (index low bits keep stability)
+        key = np.left_shift(code, np.uint64(idx_bits))
+        np.bitwise_or(key, np.arange(n, dtype=np.uint64), out=key)
         np.ndarray.sort(key)
-        order = (key & np.uint64((1 << 22) - 1)).astype(np.int64)
+        order = np.bitwise_and(key, np.uint64((1 << idx_bits) - 1),
+                               out=key).astype(np.int64)
     else:
         order = np.argsort(code, kind="stable")
     code, read, rpos = code[order], read[order], rpos[order]
