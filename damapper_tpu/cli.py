@@ -20,17 +20,22 @@ import sys
 
 
 def _expand_block_arg(arg: str) -> list[str]:
-    """Expand a '@' block pattern to existing numbered files (DB.c:2665-2923).
-    Appends .las if missing."""
+    """Expand a '@' block pattern to numbered files (Next_Block_Arg
+    DB.c:2695-2817): '@' scans from 1 while files exist, '@f' starts at f,
+    '@f-l' covers the explicit range.  Appends .las if missing."""
+    import re as _re
     if not arg.endswith(".las"):
         arg = arg + ".las"
-    if "@" not in arg:
+    m = _re.search(r"@(\d+)?(?:-(\d+))?", arg)
+    if not m:
         return [arg]
+    first = int(m.group(1)) if m.group(1) else 1
+    last = int(m.group(2)) if m.group(2) else None
     out = []
-    i = 1
-    while True:
-        p = arg.replace("@", str(i))
-        if not os.path.exists(p):
+    i = first
+    while last is None or i <= last:
+        p = arg[:m.start()] + str(i) + arg[m.end():]
+        if last is None and not os.path.exists(p):
             break
         out.append(p)
         i += 1

@@ -60,3 +60,52 @@ def test_plan_resume_contract(dbs, monkeypatch):
     (dbs / "reads.2.ref.las").write_bytes(b"\0" * 12)
     with pytest.raises(FileExistsError):
         generate_plan("ref.dam", "reads.db", first_block=2)
+
+
+def test_plan_execution_end_to_end(tmp_path, monkeypatch):
+    """Execute a generated plan (job lines + the LAcheck block) with the
+    real CLI and verify the concatenated per-block .las equals a
+    single-shot run (the reference's cluster workflow, README.md:79-104)."""
+    import subprocess
+    import sys as _sys
+
+    from damapper_tpu.io import las as lasio
+    from damapper_tpu.pipeline.mapper import DamapperConfig, run_damapper
+
+    dbs = tmp_path
+    genome, reads = helpers.sim_dataset(seed=6, glen=15000, nreads=6,
+                                        min_len=1500, max_len=3000)
+    dbio.create_dam(str(dbs / "ref.dam"),
+                    [fasta.FastaEntry("g", genome)])
+    dbio.create_db(str(dbs / "reads.db"),
+                   [fasta.FastaEntry(f"r{i}", r)
+                    for i, r in enumerate(reads)],
+                   bsize=5000)   # several blocks
+    monkeypatch.chdir(dbs)
+    plan = generate_plan("ref.dam", "reads.db", bunit=1)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(helpers.REPO)] + env.get("PYTHONPATH", "").split(os.pathsep))
+    env["JAX_PLATFORMS"] = "cpu"
+    env["DAMAPPER_WAVE"] = "oracle"
+    for ln in plan.splitlines():
+        if ln.startswith("#"):
+            continue
+        cmd = ln.replace("python ", f"{_sys.executable} ", 1)
+        r = subprocess.run(cmd, shell=True, cwd=dbs, env=env,
+                           capture_output=True, text=True)
+        assert r.returncode == 0, f"{ln}\n{r.stdout}\n{r.stderr}"
+
+    stub = dbio.read_stub(str(dbs / "reads.db"))
+    per_block = []
+    for k in range(1, stub.nblocks + 1):
+        recs, ts = lasio.read_las(str(dbs / f"reads.{k}.ref.las"))
+        per_block.extend(recs)
+
+    out = dbs / "single"
+    out.mkdir()
+    a, _ = run_damapper(str(dbs / "ref.dam"), str(dbs / "reads.db"),
+                        DamapperConfig(wave_backend="oracle"),
+                        out_dir=str(out))
+    single, _ = lasio.read_las(a)
+    assert lasio.las_equal(single, per_block)
