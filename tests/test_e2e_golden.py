@@ -166,3 +166,54 @@ def test_e2e_pallas_wave_backend(tmp_path):
     assert len(grecs) > 0
     d = diff_las(grecs, orecs)
     assert not d, d
+
+
+def write_mask_track(dbfile, track, ivals_for):
+    """Write a reference-format soft-mask track (.root.track.anno/.data):
+    anno header [tracklen, size=0] (size==0 marks MASK_TRACK, Check_Track
+    DB.c:1676-1678), int64 byte offsets, int32 interval pairs."""
+    db = dbio.DazzDB.open(str(dbfile))
+    rlens = db.reads["rlen"]
+    n = len(rlens)
+    anno = np.zeros(n + 1, np.int64)
+    chunks, total = [], 0
+    for r in range(n):
+        flat = np.asarray([x for iv in ivals_for(r, int(rlens[r]))
+                           for x in iv], np.int32)
+        anno[r] = 4 * total
+        chunks.append(flat)
+        total += len(flat)
+    anno[n] = 4 * total
+    data = np.concatenate(chunks) if chunks else np.zeros(0, np.int32)
+    dbio.write_track(db.path, track, anno, data.tobytes(), 0)
+
+
+def test_e2e_mask_tracks(tmp_path):
+    """-m soft masks on BOTH databases, two tracks with overlapping
+    intervals (exercises the multi-track union merge damapper.c:253-343
+    and the masked-window k-mer extraction map.c:481-543, including the
+    native kmer_index.cpp mask branch when available)."""
+    (tmp_path / "ours").mkdir()
+    make_dataset(tmp_path, seed=29, glen=100_000, ncontigs=2, nreads=18,
+                 bsize=60_000)
+
+    def iv1(r, L):
+        out = []
+        if L >= 4000:
+            out.append((L // 5, L // 5 + 400))
+            out.append((3 * L // 5, 3 * L // 5 + 250))
+        return out
+
+    def iv2(r, L):
+        if r % 2 == 0 and L >= 4000:
+            return [(L // 5 + 200, L // 5 + 700)]  # overlaps iv1's first
+        return []
+
+    for dbf in ("ref.dam", "reads.db"):
+        write_mask_track(tmp_path / dbf, "msk1", iv1)
+        write_mask_track(tmp_path / dbf, "msk2", iv2)
+    grecs, orecs = run_both(tmp_path, ["-k20", "-T2", "-mmsk1", "-mmsk2"],
+                            DamapperConfig(masks=["msk1", "msk2"]))
+    assert len(grecs) > 0
+    d = diff_las(grecs, orecs)
+    assert not d, d

@@ -1,0 +1,96 @@
+"""K-mer index build: native C++ builder vs the pure-python path.
+
+Both implement tuple_thread + lex_sort (map.c:447-822); they must agree
+exactly — same codes, same (read, rpos) order — with and without soft-mask
+tracks, and under -t culling.
+"""
+
+import numpy as np
+import pytest
+
+from damapper_tpu.io import db as dbio
+from damapper_tpu.io import fasta
+from damapper_tpu.ops import kmers
+from tests import helpers
+
+
+def _make_db(tmp_path, seed=3, nreads=12, minl=500, maxl=6000):
+    rng = np.random.default_rng(seed)
+    entries = [fasta.FastaEntry(f"r{i}", helpers.sim_genome(
+        rng, int(rng.integers(minl, maxl)))) for i in range(nreads)]
+    dbio.create_db(str(tmp_path / "x.db"), entries)
+    db = dbio.DazzDB.open(str(tmp_path / "x.db"))
+    db.trim()
+    db.load_bases()
+    return db
+
+
+def _attach_mask(db, rng):
+    anno = np.zeros(db.nreads + 1, np.int64)
+    chunks, total = [], 0
+    for r in range(db.nreads):
+        L = int(db.reads["rlen"][r])
+        ivs = []
+        p = 0
+        while p + 60 < L and rng.random() < 0.8:
+            b = p + int(rng.integers(10, 200))
+            e = b + int(rng.integers(5, 300))
+            if e >= L:
+                break
+            ivs.extend((b, e))
+            p = e
+        flat = np.asarray(ivs, np.int32)
+        anno[r] = total
+        chunks.append(flat)
+        total += len(flat)
+    anno[db.nreads] = total
+    data = (np.concatenate(chunks) if chunks else np.zeros(0, np.int32))
+    db.tracks["m"] = (anno, data, np.diff(anno).astype(np.int32))
+
+
+@pytest.mark.parametrize("masked", [False, True])
+@pytest.mark.parametrize("suppress", [0, 6])
+def test_native_matches_python(tmp_path, monkeypatch, masked, suppress):
+    db = _make_db(tmp_path)
+    if masked:
+        _attach_mask(db, np.random.default_rng(5))
+
+    nat = kmers._native_index(db, 14)
+    if nat is None:
+        pytest.skip("native kmer builder unavailable")
+    nat_idx = kmers.sort_kmers(db, 14, suppress)
+
+    monkeypatch.setattr(kmers, "_native_index", lambda db, k: None)
+    py_idx = kmers.sort_kmers(db, 14, suppress)
+
+    assert len(nat_idx.code) == len(py_idx.code)
+    assert np.array_equal(nat_idx.code, py_idx.code)
+    assert np.array_equal(nat_idx.read, py_idx.read)
+    assert np.array_equal(nat_idx.rpos, py_idx.rpos)
+    if masked and not suppress:
+        # the mask must actually remove k-mers (non-vacuous)
+        saved = db.tracks.pop("m")
+        full = kmers.sort_kmers(db, 14, 0)
+        db.tracks["m"] = saved
+        assert len(py_idx.code) < len(full.code)
+
+
+def test_masked_extraction_windows(tmp_path):
+    """Masked windows: a k-mer is emitted iff its k bases lie entirely in
+    one unmasked window (map.c:500-530)."""
+    db = _make_db(tmp_path, seed=9, nreads=3, minl=300, maxl=400)
+    k = 10
+    _attach_mask(db, np.random.default_rng(11))
+    code, read, rpos = kmers.extract_kmers(db, k)
+    track = db.tracks["m"]
+    for r in range(db.nreads):
+        L = int(db.reads["rlen"][r])
+        anno, data, _ = track
+        seg = data[int(anno[r]):int(anno[r + 1])]
+        masked = np.zeros(L, bool)
+        for j in range(0, len(seg), 2):
+            masked[seg[j]:seg[j + 1]] = True
+        want = {p + k - 1 for p in range(L - k + 1)
+                if not masked[p:p + k].any()}
+        got = set(rpos[read == r].tolist())
+        assert got == want
