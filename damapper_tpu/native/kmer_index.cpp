@@ -159,6 +159,10 @@ void kmer_index(const uint8_t *seq, const int64_t *boffs,
     std::vector<uint64_t> tmp(n);
     int actbits = 2 * kmer + idx_bits;
     uint64_t act = (actbits >= 64) ? ~0ULL : ((1ULL << actbits) - 1);
+    // whole bytes holding only the rank need no pass: LSD stability keeps
+    // equal codes in emission (= rank) order, matching a full-key sort
+    int skipb = idx_bits / 8;
+    if (skipb > 0 && skipb < 8) act &= ~((1ULL << (8 * skipb)) - 1);
     radix_u64(codes, tmp.data(), n, nthreads, act);
 
     // permute reads/rposs through tmp storage (threaded)
