@@ -759,6 +759,9 @@ class WaveEngine:
         self._activeP = pool_cap
         self.n_fallback = 0
         self.n_total = 0
+        # rounds smaller than this run on the host oracle: a padded device
+        # bucket costs ~1s of fixed overhead, the oracle is bit-identical
+        self.host_min = int(os.environ.get("DAMAPPER_WAVE_HOSTMIN", "16"))
 
     def _get_fns(self, P: int):
         """Jitted kernel pair for a pool-capacity bucket.  The pool rides
@@ -833,6 +836,15 @@ class WaveEngine:
         self.n_total += n
         TS = self.spec.trace_space
         out = [None] * n
+
+        if n < self.host_min:
+            for i, s in enumerate(seeds):
+                a_np = Anp[s["abase"]:s["abase"] + s["alen"]]
+                b_np = Bnp[s["bbase"]:s["bbase"] + s["blen"]]
+                out[i] = _host.local_alignment(
+                    a_np, b_np, self.spec, int(s["diag"]), int(s["diag"]),
+                    int(s["anti"]), -1, -1, int(s["flags"]))
+            return out
 
         # pool bucket: pebbles per lane are bounded by the aligned span
         # (two trace lines per TS columns on each side of a < 2*alen-wide

@@ -5,6 +5,9 @@ import os
 # NB: the environment may pre-import jax with a TPU platform plugin, so force
 # the platform via jax.config too — env vars alone are read too late.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# always exercise the device wave path: tests use tiny batches that the
+# production tiny-round host-oracle route would otherwise absorb
+os.environ["DAMAPPER_WAVE_HOSTMIN"] = "0"
 xf = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xf:
     os.environ["XLA_FLAGS"] = (

@@ -129,3 +129,23 @@ def test_wave_pallas_matches_oracle(seed, err):
                (ga.abpos, ga.bbpos, ga.aepos, ga.bepos, ga.diffs), f"case {i}"
         assert list(ea.trace) == list(ga.trace), f"case {i} A trace"
         assert list(eb.trace) == list(gb.trace), f"case {i} B trace"
+
+
+def test_tiny_round_host_route_identical():
+    """Rounds below engine.host_min run on the host oracle; the routed
+    results must equal the device path exactly (they share the oracle's
+    parity contract, so this pins the routing itself)."""
+    seqmem, insts = make_cases(3000, ncases=4, err=0.15)
+    spec = new_align_spec(0.85, 100, [.25, .25, .25, .25], True)
+    dev = jnp.asarray(seqmem)
+    eng_dev = WaveEngine(spec, band_cap=256, pool_cap=2048)
+    eng_dev.host_min = 0
+    eng_host = WaveEngine(spec, band_cap=256, pool_cap=2048)
+    eng_host.host_min = len(insts) + 1
+    got_d = eng_dev.local_alignment_batch(dev, dev, seqmem, seqmem, insts)
+    got_h = eng_host.local_alignment_batch(dev, dev, seqmem, seqmem, insts)
+    for i, ((da, db_), (ha, hb)) in enumerate(zip(got_d, got_h)):
+        for nm, d, h in (("A", da, ha), ("B", db_, hb)):
+            assert (d.abpos, d.bbpos, d.aepos, d.bepos, d.diffs) == \
+                   (h.abpos, h.bbpos, h.aepos, h.bepos, h.diffs), f"{i} {nm}"
+            assert list(d.trace) == list(h.trace), f"{i} {nm} trace"
