@@ -39,7 +39,7 @@ NREADS = int(os.environ.get("BENCH_NREADS", 200))
 SEED = int(os.environ.get("BENCH_SEED", 42))
 # the axon TPU tunnel's execution time is very jittery (3x swings between
 # identical runs); report the best of BENCH_REPEATS attempts
-REPEATS = int(os.environ.get("BENCH_REPEATS", 2))
+REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
 
 # measured reference throughput (reads/s) to use if the reference binary
 # cannot be built on the bench host (dev-host measurement, -T4, same config)

@@ -109,6 +109,7 @@ def kmer_lib():
         lib.kmer_index.argtypes = [ctypes.c_void_p] * 3 + [
             ctypes.c_int32, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         _kmer_lib = lib
     return _kmer_lib

@@ -97,11 +97,14 @@ int64_t kmer_count(const int32_t *rlens, int32_t nreads, int kmer,
 // read offset into seq; codes/reads/rposs: output arrays of size total.
 // idx_bits: when > 0, codes are packed with their emission rank and radix
 // sorted (requires 2*kmer + idx_bits <= 64); when 0 the caller sorts.
+// tmp (u64[total]) and pr/pp (i32[total]) are caller-provided scratch so
+// repeated builds reuse warm pages instead of faulting ~200MB per call.
 void kmer_index(const uint8_t *seq, const int64_t *boffs,
                 const int32_t *rlens, int32_t nreads, int kmer,
                 const int64_t *mask_anno, const int32_t *mask_data,
                 const int64_t *offs, uint64_t *codes, int32_t *reads,
-                int32_t *rposs, int idx_bits, int nthreads) {
+                int32_t *rposs, int idx_bits, int nthreads,
+                uint64_t *tmp, int32_t *pr, int32_t *pp) {
     if (nthreads < 1) nthreads = 1;
     if (nthreads > 16) nthreads = 16;
     std::vector<std::thread> th;
@@ -156,18 +159,16 @@ void kmer_index(const uint8_t *seq, const int64_t *boffs,
     for (auto &x : th) x.join();
     th.clear();
 
-    std::vector<uint64_t> tmp(n);
     int actbits = 2 * kmer + idx_bits;
     uint64_t act = (actbits >= 64) ? ~0ULL : ((1ULL << actbits) - 1);
     // whole bytes holding only the rank need no pass: LSD stability keeps
     // equal codes in emission (= rank) order, matching a full-key sort
     int skipb = idx_bits / 8;
     if (skipb > 0 && skipb < 8) act &= ~((1ULL << (8 * skipb)) - 1);
-    radix_u64(codes, tmp.data(), n, nthreads, act);
+    radix_u64(codes, tmp, n, nthreads, act);
 
     // permute reads/rposs through tmp storage (threaded)
     uint64_t rmask = (1ULL << idx_bits) - 1;
-    std::vector<int32_t> pr(n), pp(n);
     for (int t = 0; t < nthreads; t++)
         th.emplace_back([&, t] {
             int64_t beg = n * t / nthreads, end = n * (t + 1) / nthreads;
@@ -180,8 +181,8 @@ void kmer_index(const uint8_t *seq, const int64_t *boffs,
         });
     for (auto &x : th) x.join();
     th.clear();
-    memcpy(reads, pr.data(), sizeof(int32_t) * n);
-    memcpy(rposs, pp.data(), sizeof(int32_t) * n);
+    memcpy(reads, pr, sizeof(int32_t) * n);
+    memcpy(rposs, pp, sizeof(int32_t) * n);
 }
 
 }  // extern "C"

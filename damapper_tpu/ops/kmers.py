@@ -83,10 +83,16 @@ def extract_kmers(db, kmer: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
             np.concatenate(rposs))
 
 
-def _native_index(db, kmer: int):
+def _native_index(db, kmer: int, scratch: dict | None = None):
     """Fused extract+sort via the native builder (tuple_thread + lex_sort
     equivalent, damapper_tpu/native/kmer_index.cpp).  Returns None when the
-    native path is unavailable or the packing bound is exceeded."""
+    native path is unavailable or the packing bound is exceeded.
+
+    `scratch` (optional dict, owned by the caller) recycles the output and
+    sort-scratch buffers across builds: repeated index builds (ref fwd/comp
+    per block) otherwise fault ~30 fresh bytes per k-mer each call, which
+    costs as much as the sort itself on this host.  The caller must be done
+    with the previous build's KmerIndex before passing the same scratch."""
     import os
 
     try:
@@ -113,22 +119,38 @@ def _native_index(db, kmer: int):
                            offs.ctypes.data)
     if total >= (1 << idx_bits):
         return None
-    codes = np.empty(total, np.uint64)
-    reads = np.empty(total, np.int32)
-    rposs = np.empty(total, np.int32)
+
+    def _buf(name, dtype):
+        if scratch is None:
+            return np.empty(total, dtype)
+        b = scratch.get(name)
+        if b is None or len(b) < total:
+            b = np.empty(int(total * 5 // 4) + 64, dtype)
+            scratch[name] = b
+        return b[:total]
+
+    codes = _buf("codes", np.uint64)
+    reads = _buf("reads", np.int32)
+    rposs = _buf("rposs", np.int32)
+    tmp = _buf("tmp", np.uint64)
+    pr = _buf("pr", np.int32)
+    pp = _buf("pp", np.int32)
     seq = db.seq
     assert seq.flags["C_CONTIGUOUS"]
     lib.kmer_index(seq.ctypes.data, boffs.ctypes.data, rlens.ctypes.data,
                    nreads, kmer, ap, dp, offs.ctypes.data,
                    codes.ctypes.data, reads.ctypes.data, rposs.ctypes.data,
-                   idx_bits, min(8, os.cpu_count() or 4))
+                   idx_bits, min(8, os.cpu_count() or 4),
+                   tmp.ctypes.data, pr.ctypes.data, pp.ctypes.data)
     return codes, reads, rposs
 
 
-def sort_kmers(db, kmer: int, suppress: int = 0) -> KmerIndex:
+def sort_kmers(db, kmer: int, suppress: int = 0,
+               scratch: dict | None = None) -> KmerIndex:
     """Build the sorted, culled k-mer index of a block (Sort_Kmers map.c:655).
-    suppress=0 means no culling (-t absent)."""
-    nat = _native_index(db, kmer)
+    suppress=0 means no culling (-t absent).  `scratch` recycles native
+    build buffers across calls (see _native_index)."""
+    nat = _native_index(db, kmer, scratch)
     if nat is not None:
         code, read, rpos = nat
         if suppress and len(code):

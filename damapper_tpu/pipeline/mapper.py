@@ -139,6 +139,9 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
     state = ChainState(reads_db.nreads, cfg.kmer, profile=cfg.profile,
                        rlens=reads_db.reads["rlen"], spacing=cfg.spacing)
 
+    # ref-index builds recycle their buffers: each aindex is dead once its
+    # hits are chained, so the next build reuses the warm pages
+    kscratch: dict = {}
     for k in range(1, nblocks + 1):
         blk_path = os.path.join(pwd, f"{aroot_stub}.{k}"
                                 + (".dam" if isdam else ".db"))
@@ -148,7 +151,8 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
         for comp in (0, 1):
             if comp:
                 ref_blk.complement_inplace()
-            aindex = sort_kmers(ref_blk, cfg.kmer, cfg.suppress)
+            aindex = sort_kmers(ref_blk, cfg.kmer, cfg.suppress,
+                                scratch=kscratch)
             db_bytes = reads_db.sizeof() + ref_blk.sizeof()
             hits = match_seeds(bindex, aindex, cfg.mem_limit, db_bytes)
             if cfg.verbose:

@@ -60,7 +60,7 @@ def test_native_matches_python(tmp_path, monkeypatch, masked, suppress):
         pytest.skip("native kmer builder unavailable")
     nat_idx = kmers.sort_kmers(db, 14, suppress)
 
-    monkeypatch.setattr(kmers, "_native_index", lambda db, k: None)
+    monkeypatch.setattr(kmers, "_native_index", lambda db, k, s=None: None)
     py_idx = kmers.sort_kmers(db, 14, suppress)
 
     assert len(nat_idx.code) == len(py_idx.code)
@@ -94,3 +94,22 @@ def test_masked_extraction_windows(tmp_path):
                 if not masked[p:p + k].any()}
         got = set(rpos[read == r].tolist())
         assert got == want
+
+
+def test_scratch_reuse_identical(tmp_path):
+    """Recycled scratch buffers must not leak state between builds."""
+    db1 = _make_db(tmp_path, seed=21)
+    db2 = _make_db(tmp_path, seed=22, nreads=7)   # overwrites x.db; smaller
+    if kmers._native_index(db1, 14) is None:
+        pytest.skip("native kmer builder unavailable")
+    scratch = {}
+    a1 = kmers.sort_kmers(db1, 14, 0, scratch=scratch)
+    a1_codes = a1.code.copy()
+    a2 = kmers.sort_kmers(db2, 14, 0, scratch=scratch)
+    fresh = kmers.sort_kmers(db2, 14, 0)
+    assert np.array_equal(a2.code, fresh.code)
+    assert np.array_equal(a2.read, fresh.read)
+    assert np.array_equal(a2.rpos, fresh.rpos)
+    # rebuilding db1 into the same scratch reproduces the original
+    b1 = kmers.sort_kmers(db1, 14, 0, scratch=scratch)
+    assert np.array_equal(b1.code, a1_codes)
