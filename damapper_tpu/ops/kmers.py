@@ -101,7 +101,7 @@ def _native_index(db, kmer: int, scratch: dict | None = None):
     except Exception:
         return None
     idx_bits = 64 - 2 * kmer
-    if idx_bits <= 0 or db.seq is None:
+    if kmer > 32 or db.seq is None:
         return None
     track = next(iter(db.tracks.values())) if db.tracks else None
     nreads = db.nreads
@@ -117,9 +117,6 @@ def _native_index(db, kmer: int, scratch: dict | None = None):
     offs = np.empty(nreads + 1, np.int64)
     total = lib.kmer_count(rlens.ctypes.data, nreads, kmer, ap, dp,
                            offs.ctypes.data)
-    if total >= (1 << idx_bits):
-        return None
-
     def _buf(name, dtype):
         if scratch is None:
             return np.empty(total, dtype)
@@ -133,15 +130,30 @@ def _native_index(db, kmer: int, scratch: dict | None = None):
     reads = _buf("reads", np.int32)
     rposs = _buf("rposs", np.int32)
     tmp = _buf("tmp", np.uint64)
-    pr = _buf("pr", np.int32)
-    pp = _buf("pp", np.int32)
     seq = db.seq
     assert seq.flags["C_CONTIGUOUS"]
-    lib.kmer_index(seq.ctypes.data, boffs.ctypes.data, rlens.ctypes.data,
-                   nreads, kmer, ap, dp, offs.ctypes.data,
-                   codes.ctypes.data, reads.ctypes.data, rposs.ctypes.data,
-                   idx_bits, min(8, os.cpu_count() or 4),
-                   tmp.ctypes.data, pr.ctypes.data, pp.ctypes.data)
+    nthreads = min(8, os.cpu_count() or 4)
+    packed = idx_bits > 0 and total < (1 << idx_bits)
+    if packed:
+        # rank packs into the key's low bits: permute via one u64 sort
+        pr = _buf("pr", np.int32)
+        pp = _buf("pp", np.int32)
+        lib.kmer_index(seq.ctypes.data, boffs.ctypes.data, rlens.ctypes.data,
+                       nreads, kmer, ap, dp, offs.ctypes.data,
+                       codes.ctypes.data, reads.ctypes.data,
+                       rposs.ctypes.data, idx_bits, nthreads,
+                       tmp.ctypes.data, pr.ctypes.data, pp.ctypes.data,
+                       None, None)
+    else:
+        # index too large to pack ranks: (key, payload) pair radix
+        pay = _buf("pay", np.uint64)
+        tmpp = _buf("tmpp", np.uint64)
+        lib.kmer_index(seq.ctypes.data, boffs.ctypes.data, rlens.ctypes.data,
+                       nreads, kmer, ap, dp, offs.ctypes.data,
+                       codes.ctypes.data, reads.ctypes.data,
+                       rposs.ctypes.data, -1, nthreads,
+                       tmp.ctypes.data, None, None,
+                       pay.ctypes.data, tmpp.ctypes.data)
     return codes, reads, rposs
 
 

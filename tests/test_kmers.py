@@ -113,3 +113,20 @@ def test_scratch_reuse_identical(tmp_path):
     # rebuilding db1 into the same scratch reproduces the original
     b1 = kmers.sort_kmers(db1, 14, 0, scratch=scratch)
     assert np.array_equal(b1.code, a1_codes)
+
+
+@pytest.mark.parametrize("kmer", [28, 20])
+def test_pair_radix_path_matches_python(tmp_path, monkeypatch, kmer):
+    """k=28 -> idx_bits=8, so any real index exceeds the rank-packing bound
+    and takes the (key, payload) pair radix; must equal the python sort."""
+    db = _make_db(tmp_path, seed=31)
+    _attach_mask(db, np.random.default_rng(7))
+    nat = kmers._native_index(db, kmer)
+    if nat is None:
+        pytest.skip("native kmer builder unavailable")
+    nat_idx = kmers.sort_kmers(db, kmer, 0)
+    monkeypatch.setattr(kmers, "_native_index", lambda db, k, s=None: None)
+    py_idx = kmers.sort_kmers(db, kmer, 0)
+    assert np.array_equal(nat_idx.code, py_idx.code)
+    assert np.array_equal(nat_idx.read, py_idx.read)
+    assert np.array_equal(nat_idx.rpos, py_idx.rpos)
