@@ -819,6 +819,7 @@ class WaveEngine:
                     [x, np.repeat(x[:1], B - len(x))]))
             out = fn(*[pad(x) for x in args], Aflat, Bflat,
                      *self._consts)
+            self.last_iters = int(out.pop("iters", 0))  # driver telemetry
             chunks.append({f: np.asarray(v)[:en - st]
                            for f, v in out.items()})
         merged = {f: np.concatenate([c[f] for c in chunks])

@@ -876,6 +876,10 @@ def make_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
             out_specs=out_specs,
             out_shape=out_shape,
             input_output_aliases={ix: ix for ix in range(len(names))},
+            # the phase machine's (G, W, BW) temporaries exceed the default
+            # 16M scoped-vmem budget for BW > 128 (v5e has 128M physical)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
         )(*[arg(nm) for nm in names], consts[None, :])
         res = {}
@@ -977,7 +981,7 @@ def make_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
                     moreha=st["moreha"], morehb=st["morehb"], pool=pool,
                     avail=st["avail"],
                     overflow=st["overflow"].astype(bool),
-                    waves=st["dif"])
+                    waves=st["dif"], iters=st["_it"])
 
     return driver
 
