@@ -133,8 +133,10 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
     reads_db = read_block(reads_path, cfg.masks, cfg.kmer)
     bindex = sort_kmers(reads_db, cfg.kmer, cfg.suppress)
     if cfg.verbose:
-        print(f"Building index for {broot}: {len(bindex)} kmers",
-              file=sys.stderr)
+        # stage counters mirroring the reference -v (map.c:692-697,792-799)
+        print(f"\n   Kmer count = {len(bindex):,}\n"
+              f"   Index occupies {len(bindex) / 67108864:.2f}Gb "
+              f"({broot})", file=sys.stderr)
 
     state = ChainState(reads_db.nreads, cfg.kmer, profile=cfg.profile,
                        rlens=reads_db.reads["rlen"], spacing=cfg.spacing)
@@ -156,9 +158,21 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
             db_bytes = reads_db.sizeof() + ref_blk.sizeof()
             hits = match_seeds(bindex, aindex, cfg.mem_limit, db_bytes)
             if cfg.verbose:
-                print(f"block {k} comp={comp}: {len(hits)} hits",
-                      file=sys.stderr)
+                print(f"   Block {k} comp={comp}: index = {len(aindex):,} "
+                      f"kmers, hit count = {len(hits):,}", file=sys.stderr)
+            before = sum(len(c) for c in state.cands)
             state.process_hits(hits, bstart, comp)
+            if cfg.verbose:
+                # candidate counters (map.c:3184-3208 epilogue)
+                tfilt = sum(len(c) for c in state.cands)
+                atot = max(1, reads_db.totlen)
+                btot = max(1, ref_blk.totlen)
+                print(f"     {len(hits):,} {cfg.kmer}-mers "
+                      f"({len(hits) / atot / btot:e} of matrix)\n"
+                      f"     {tfilt - before:,} candidates added\n"
+                      f"     {tfilt:,} candidates "
+                      f"({tfilt / atot / btot:e} of matrix)",
+                      file=sys.stderr)
 
     ref_full = read_block(os.path.join(pwd, aroot_stub
                                        + (".dam" if isdam else ".db")),
@@ -180,6 +194,8 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
     profile_out = [] if cfg.profile else None
     a_recs, b_recs = rep.run(reads_db, ref_full, state,
                              astart=reads_db.tfirst, profile_out=profile_out)
+    if cfg.verbose:
+        print(f"      {len(a_recs):,} mapped segments", file=sys.stderr)
 
     a_path = b_path = None
     if cfg.do_a:
