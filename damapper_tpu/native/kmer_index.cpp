@@ -51,10 +51,28 @@ void radix_u64(uint64_t *data, uint64_t *tmp, int64_t n, int nthreads,
                 Part &p = parts[t];
                 int64_t off[256];
                 memcpy(off, p.offset, sizeof(off));
+                // write-combining stage: random 8B scatters into GB-scale
+                // destinations are TLB/cache-miss bound; collect 32 entries
+                // per bucket and flush 256B sequential chunks instead
+                constexpr int SB = 32;
+                static thread_local uint64_t stage[256][SB];
+                int scnt[256];
+                memset(scnt, 0, sizeof(scnt));
                 for (int64_t i = p.beg; i < p.end; i++) {
                     uint64_t v = src[i];
-                    dst[off[(v >> shift) & 0xFF]++] = v;
+                    int b = (v >> shift) & 0xFF;
+                    stage[b][scnt[b]] = v;
+                    if (++scnt[b] == SB) {
+                        memcpy(dst + off[b], stage[b], SB * 8);
+                        off[b] += SB;
+                        scnt[b] = 0;
+                    }
                 }
+                for (int b = 0; b < 256; b++)
+                    if (scnt[b]) {
+                        memcpy(dst + off[b], stage[b], scnt[b] * 8);
+                        off[b] += scnt[b];
+                    }
             });
         for (auto &x : th) x.join();
         th.clear();
@@ -63,62 +81,97 @@ void radix_u64(uint64_t *data, uint64_t *tmp, int64_t n, int nthreads,
     if (src != data) memcpy(data, src, sizeof(uint64_t) * n);
 }
 
-// Stable LSD radix of (key, payload) pairs: payload rides along each
-// scatter pass, so there is no rank-packing bound on n (used when the
-// index is too large to pack emission ranks into the key's low bits).
-void radix_u64_pair(uint64_t *key, uint64_t *pay, uint64_t *tmpk,
-                    uint64_t *tmpp, int64_t n, int nthreads,
-                    uint64_t active_mask) {
-    struct Part {
-        int64_t beg, end;
-        int64_t count[256];
-        int64_t offset[256];
-    };
-    std::vector<Part> parts(nthreads);
-    std::vector<std::thread> th;
-    uint64_t *ks = key, *kd = tmpk, *ps = pay, *pd = tmpp;
-    for (int pass = 0; pass < 8; pass++) {
-        if (((active_mask >> (8 * pass)) & 0xFF) == 0) continue;
-        int shift = 8 * pass;
-        for (int t = 0; t < nthreads; t++) {
-            parts[t].beg = n * t / nthreads;
-            parts[t].end = n * (t + 1) / nthreads;
-        }
-        for (int t = 0; t < nthreads; t++)
-            th.emplace_back([&, t] {
-                Part &p = parts[t];
-                memset(p.count, 0, sizeof(p.count));
-                for (int64_t i = p.beg; i < p.end; i++)
-                    p.count[(ks[i] >> shift) & 0xFF]++;
-            });
-        for (auto &x : th) x.join();
-        th.clear();
-        int64_t sum = 0;
-        for (int b = 0; b < 256; b++)
-            for (int t = 0; t < nthreads; t++) {
-                parts[t].offset[b] = sum;
-                sum += parts[t].count[b];
+// MSD-partitioned pair sort: one DRAM pass scatters (key, payload) into
+// 256 partitions by the top code byte; each partition (typically L2/L3
+// resident) is then LSD-sorted over the remaining bits with 11-bit
+// digits.  Total DRAM traffic ~2 passes instead of 5+ — this host is
+// write-bandwidth bound (~2 GB/s), so passes are the whole cost.
+// Stability matches a full LSD sort (stable at both levels).
+void sort_pairs_msd(uint64_t *key, uint64_t *pay, uint64_t *tmpk,
+                    uint64_t *tmpp, int64_t n, int codebits) {
+    int msh = codebits > 8 ? codebits - 8 : 0;
+
+    // --- MSD scatter into tmpk/tmpp (write-combined) ---
+    int64_t cnt[256];
+    memset(cnt, 0, sizeof(cnt));
+    for (int64_t i = 0; i < n; i++) cnt[(key[i] >> msh) & 0xFF]++;
+    int64_t off[256], beg[257];
+    int64_t sum = 0;
+    for (int b = 0; b < 256; b++) {
+        beg[b] = off[b] = sum;
+        sum += cnt[b];
+    }
+    beg[256] = sum;
+    {
+        constexpr int SB = 32;
+        static thread_local uint64_t stk[256][SB], stp[256][SB];
+        int scnt[256];
+        memset(scnt, 0, sizeof(scnt));
+        for (int64_t i = 0; i < n; i++) {
+            uint64_t k2 = key[i];
+            int b = (k2 >> msh) & 0xFF;
+            stk[b][scnt[b]] = k2;
+            stp[b][scnt[b]] = pay[i];
+            if (++scnt[b] == SB) {
+                memcpy(tmpk + off[b], stk[b], SB * 8);
+                memcpy(tmpp + off[b], stp[b], SB * 8);
+                off[b] += SB;
+                scnt[b] = 0;
             }
-        for (int t = 0; t < nthreads; t++)
-            th.emplace_back([&, t] {
-                Part &p = parts[t];
-                int64_t off[256];
-                memcpy(off, p.offset, sizeof(off));
-                for (int64_t i = p.beg; i < p.end; i++) {
-                    int64_t j = off[(ks[i] >> shift) & 0xFF]++;
+        }
+        for (int b = 0; b < 256; b++)
+            if (scnt[b]) {
+                memcpy(tmpk + off[b], stk[b], scnt[b] * 8);
+                memcpy(tmpp + off[b], stp[b], scnt[b] * 8);
+            }
+    }
+
+    if (msh == 0) {
+        memcpy(key, tmpk, sizeof(uint64_t) * n);
+        memcpy(pay, tmpp, sizeof(uint64_t) * n);
+        return;
+    }
+
+    // --- per-partition LSD over the low msh bits, odd digit count so the
+    // result lands back in key/pay ---
+    int nd = (msh + 10) / 11;
+    if ((nd & 1) == 0) nd++;
+    int wd = (msh + nd - 1) / nd;     // digit width <= 11
+    int64_t dcnt[1 << 11];
+    for (int b = 0; b < 256; b++) {
+        int64_t lo = beg[b], m = beg[b + 1] - beg[b];
+        if (m <= 0) continue;
+        uint64_t *ks = tmpk + lo, *kd = key + lo;
+        uint64_t *ps = tmpp + lo, *pd = pay + lo;
+        int sh = 0;
+        for (int d = 0; d < nd; d++) {
+            int w = (sh + wd > msh) ? (msh - sh) : wd;
+            if (w <= 0) {  // exhausted bits: copy-through keeps parity
+                memcpy(kd, ks, m * 8);
+                memcpy(pd, ps, m * 8);
+            } else {
+                int nb = 1 << w;
+                uint64_t dm = nb - 1;
+                memset(dcnt, 0, nb * sizeof(int64_t));
+                for (int64_t i = 0; i < m; i++)
+                    dcnt[(ks[i] >> sh) & dm]++;
+                int64_t s2 = 0;
+                for (int bb = 0; bb < nb; bb++) {
+                    int64_t c2 = dcnt[bb];
+                    dcnt[bb] = s2;
+                    s2 += c2;
+                }
+                for (int64_t i = 0; i < m; i++) {
+                    int64_t j = dcnt[(ks[i] >> sh) & dm]++;
                     kd[j] = ks[i];
                     pd[j] = ps[i];
                 }
-            });
-        for (auto &x : th) x.join();
-        th.clear();
-        uint64_t *sw;
-        sw = ks; ks = kd; kd = sw;
-        sw = ps; ps = pd; pd = sw;
-    }
-    if (ks != key) {
-        memcpy(key, ks, sizeof(uint64_t) * n);
-        memcpy(pay, ps, sizeof(uint64_t) * n);
+            }
+            sh += w;
+            uint64_t *sw;
+            sw = ks; ks = kd; kd = sw;
+            sw = ps; ps = pd; pd = sw;
+        }
     }
 }
 
@@ -223,8 +276,8 @@ void kmer_index(const uint8_t *seq, const int64_t *boffs,
             });
         for (auto &x : th) x.join();
         th.clear();
-        uint64_t act = (kmer >= 32) ? ~0ULL : ((1ULL << (2 * kmer)) - 1);
-        radix_u64_pair(codes, pay, tmp, tmpp, n, nthreads, act);
+        sort_pairs_msd(codes, pay, tmp, tmpp, n,
+                       (kmer >= 32) ? 64 : 2 * kmer);
         for (int t = 0; t < nthreads; t++)
             th.emplace_back([&, t] {
                 int64_t beg = n * t / nthreads, end = n * (t + 1) / nthreads;
