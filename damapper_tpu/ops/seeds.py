@@ -64,6 +64,25 @@ def match_limit(hitgram: np.ndarray, mem_limit: int, db_bytes: int,
     return limit
 
 
+def _locate_ranges(keys: np.ndarray, q: np.ndarray):
+    """(lo, hi) spans of each sorted unique query code in the sorted key
+    array: one native linear merge scan (sequential reads) instead of
+    per-query binary searches; numpy fallback is equivalent."""
+    try:
+        from ..native import kmer_lib
+        lib = kmer_lib()
+    except Exception:
+        return (np.searchsorted(keys, q, side="left"),
+                np.searchsorted(keys, q, side="right"))
+    keys = np.ascontiguousarray(keys, np.uint64)
+    q = np.ascontiguousarray(q, np.uint64)
+    lo = np.empty(len(q), np.int64)
+    hi = np.empty(len(q), np.int64)
+    lib.merge_ranges(q.ctypes.data, len(q), keys.ctypes.data, len(keys),
+                     lo.ctypes.data, hi.ctypes.data)
+    return lo, hi
+
+
 def match_seeds(aidx: KmerIndex, bidx: KmerIndex,
                 mem_limit: int = 0, db_bytes: int = 0) -> SeedHits:
     """Intersect two sorted k-mer indexes and emit seed pairs.
@@ -78,9 +97,7 @@ def match_seeds(aidx: KmerIndex, bidx: KmerIndex,
 
     a_starts, a_ends = _group_ranges(aidx.code)
     a_codes = aidx.code[a_starts]
-    # locate each a-code group in b
-    b_lo = np.searchsorted(bidx.code, a_codes, side="left")
-    b_hi = np.searchsorted(bidx.code, a_codes, side="right")
+    b_lo, b_hi = _locate_ranges(bidx.code, a_codes)
     ca = (a_ends - a_starts)
     cb = (b_hi - b_lo)
     hit = cb > 0

@@ -174,9 +174,15 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
                       f"({tfilt / atot / btot:e} of matrix)",
                       file=sys.stderr)
 
-    ref_full = read_block(os.path.join(pwd, aroot_stub
-                                       + (".dam" if isdam else ".db")),
-                          [], cfg.kmer)
+    if nblocks == 1:
+        # block 1 IS the full DB: un-complement it (the orientation loop
+        # left it reversed) instead of re-decoding the whole .bps
+        ref_blk.complement_inplace()
+        ref_full = ref_blk
+    else:
+        ref_full = read_block(os.path.join(pwd, aroot_stub
+                                           + (".dam" if isdam else ".db")),
+                              [], cfg.kmer)
 
     engine = None
     if cfg.wave_backend in ("jax", "pallas"):

@@ -130,3 +130,13 @@ def test_pair_radix_path_matches_python(tmp_path, monkeypatch, kmer):
     assert np.array_equal(nat_idx.code, py_idx.code)
     assert np.array_equal(nat_idx.read, py_idx.read)
     assert np.array_equal(nat_idx.rpos, py_idx.rpos)
+
+
+def test_locate_ranges_matches_searchsorted():
+    from damapper_tpu.ops import seeds
+    rng = np.random.default_rng(13)
+    keys = np.sort(rng.integers(0, 500, 10_000).astype(np.uint64))
+    q = np.unique(rng.integers(0, 520, 300).astype(np.uint64))
+    lo, hi = seeds._locate_ranges(keys, q)
+    assert np.array_equal(lo, np.searchsorted(keys, q, side="left"))
+    assert np.array_equal(hi, np.searchsorted(keys, q, side="right"))
