@@ -7,7 +7,7 @@ scaled by env knobs) and prints ONE JSON line:
    "vs_baseline": ours/reference}
 
 Env knobs: BENCH_GLEN (genome bp, default 1_000_000), BENCH_NREADS (default
-200), BENCH_SEED.  The correctness gate (.las record equality vs the
+200), BENCH_SEED, BENCH_BSIZE (ref block size; <genome forces multi-block).  The correctness gate (.las record equality vs the
 reference) is asserted before timing is reported.
 """
 
@@ -37,6 +37,7 @@ import numpy as np  # noqa: E402
 GLEN = int(os.environ.get("BENCH_GLEN", 1_000_000))
 NREADS = int(os.environ.get("BENCH_NREADS", 200))
 SEED = int(os.environ.get("BENCH_SEED", 42))
+BSIZE = int(os.environ.get("BENCH_BSIZE", 260_000_000))
 # the axon TPU tunnel's execution time is very jittery (3x swings between
 # identical runs); report the best of BENCH_REPEATS attempts
 REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
@@ -52,7 +53,7 @@ def build_dataset(work: pathlib.Path):
     from tests import helpers
 
     work.mkdir(parents=True, exist_ok=True)
-    marker = work / f"ds_{SEED}_{GLEN}_{NREADS}.ok"
+    marker = work / f"ds_{SEED}_{GLEN}_{NREADS}_{BSIZE}.ok"
     if marker.exists():
         return
     rng = np.random.default_rng(SEED)
@@ -67,7 +68,7 @@ def build_dataset(work: pathlib.Path):
         r, *_ = helpers.sim_read(rng, entries[ci].seq, min_len=3000,
                                  max_len=9000)
         reads.append(r)
-    dbio.create_dam(str(work / "ref.dam"), entries, bsize=260_000_000)
+    dbio.create_dam(str(work / "ref.dam"), entries, bsize=BSIZE)
     dbio.create_db(str(work / "reads.db"),
                    [fasta.FastaEntry(f"r{i}", r) for i, r in enumerate(reads)])
     marker.write_text("ok")
@@ -109,7 +110,9 @@ def time_ours(work: pathlib.Path):
 def main():
     # per-config dataset dir: configs must not share files (a marker for one
     # config does not mean the files on disk belong to it)
-    work = REPO / "tests" / "data" / "bench" / f"ds_{SEED}_{GLEN}_{NREADS}"
+    work = REPO / "tests" / "data" / "bench" / (
+        f"ds_{SEED}_{GLEN}_{NREADS}"
+        + (f"_b{BSIZE}" if BSIZE != 260_000_000 else ""))
     result = {
         "metric": "reads mapped/sec, simulated PacBio 15% err vs reference "
                   f"damapper (genome {GLEN}bp, {NREADS} reads, -k20)",

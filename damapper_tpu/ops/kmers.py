@@ -83,7 +83,8 @@ def extract_kmers(db, kmer: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
             np.concatenate(rposs))
 
 
-def _native_index(db, kmer: int, scratch: dict | None = None):
+def _native_index(db, kmer: int, scratch: dict | None = None,
+                  span_off: int | None = None):
     """Fused extract+sort via the native builder (tuple_thread + lex_sort
     equivalent, damapper_tpu/native/kmer_index.cpp).  Returns None when the
     native path is unavailable or the packing bound is exceeded.
@@ -120,11 +121,16 @@ def _native_index(db, kmer: int, scratch: dict | None = None):
     def _buf(name, dtype):
         if scratch is None:
             return np.empty(total, dtype)
+        off = span_off or 0
         b = scratch.get(name)
-        if b is None or len(b) < total:
+        if b is None or len(b) < off + total:
+            if span_off is not None:
+                # partitioned builds slice disjoint spans of pre-sized
+                # buffers; growing here would drop earlier partitions
+                raise ValueError("scratch under-sized for partition span")
             b = np.empty(int(total * 5 // 4) + 64, dtype)
             scratch[name] = b
-        return b[:total]
+        return b[off:off + total]
 
     codes = _buf("codes", np.uint64)
     reads = _buf("reads", np.int32)
@@ -155,6 +161,92 @@ def _native_index(db, kmer: int, scratch: dict | None = None):
                        tmp.ctypes.data, None, None,
                        pay.ctypes.data, tmpp.ctypes.data)
     return codes, reads, rposs
+
+
+class _ReadRange:
+    """View of a contiguous read range of a loaded DazzDB — just enough
+    surface for the index builders (reads/seq/tracks/read_seq)."""
+
+    def __init__(self, db, i0: int, i1: int):
+        self._db = db
+        self.i0 = i0
+        self.nreads = i1 - i0
+        self.reads = db.reads[i0:i1]
+        self.seq = db.seq
+        self.tracks = {nm: (anno[i0:i1 + 1], data, alen[i0:i1])
+                       for nm, (anno, data, alen) in db.tracks.items()}
+
+    def read_seq(self, i):
+        return self._db.read_seq(self.i0 + i)
+
+
+def _partition_ranges(rlens, max_bases: int) -> list[tuple[int, int]]:
+    ranges = []
+    i0, acc = 0, 0
+    for i, ln in enumerate(rlens):
+        if acc and acc + int(ln) > max_bases:
+            ranges.append((i0, i))
+            i0, acc = i, 0
+        acc += int(ln)
+    ranges.append((i0, len(rlens)))
+    return ranges
+
+
+def sort_kmers_partitioned(db, kmer: int, max_bases: int,
+                           scratch: dict) -> list[tuple[KmerIndex, int]]:
+    """Per-read-range sorted indexes: [(KmerIndex, first_read), ...].
+
+    Semantically a finer DBsplit of the block (ranges always break between
+    reads): the concatenated entries equal sort_kmers(db)'s, sorted within
+    each range instead of globally.  Cache-resident partition sorts are
+    several times faster than one block-global sort on bandwidth-bound
+    hosts.  Callers must match with merged per-code counts to keep the
+    block-level -M/MAXGRAM semantics (seeds.match_seeds_multi) and must
+    not use this with -t culling (per-block counts).
+    """
+    ranges = _partition_ranges(db.reads["rlen"], max_bases)
+    try:
+        from ..native import kmer_lib
+        lib = kmer_lib()
+    except Exception:
+        lib = None
+    if lib is None or db.seq is None or kmer > 32:
+        return [(sort_kmers(_ReadRange(db, i0, i1), kmer, 0), i0)
+                for i0, i1 in ranges]
+
+    # pre-size the scratch to the whole block so partition builds can
+    # slice disjoint spans
+    views = [_ReadRange(db, i0, i1) for i0, i1 in ranges]
+    totals = []
+    for v in views:
+        track = next(iter(v.tracks.values())) if v.tracks else None
+        rl = np.ascontiguousarray(v.reads["rlen"], np.int32)
+        offs = np.empty(v.nreads + 1, np.int64)
+        if track is not None:
+            anno = np.ascontiguousarray(track[0], np.int64)
+            data = np.ascontiguousarray(track[1], np.int32)
+            ap, dp = anno.ctypes.data, data.ctypes.data
+        else:
+            ap = dp = None
+        totals.append(lib.kmer_count(rl.ctypes.data, v.nreads, kmer,
+                                     ap, dp, offs.ctypes.data))
+    grand = int(sum(totals))
+    for name, dt in (("codes", np.uint64), ("reads", np.int32),
+                     ("rposs", np.int32), ("tmp", np.uint64),
+                     ("pay", np.uint64), ("tmpp", np.uint64),
+                     ("pr", np.int32), ("pp", np.int32)):
+        b = scratch.get(name)
+        if b is None or len(b) < grand:
+            scratch[name] = np.empty(grand + 64, dt)
+
+    out = []
+    off = 0
+    for v, tot, (i0, i1) in zip(views, totals, ranges):
+        nat = _native_index(v, kmer, scratch, span_off=off)
+        assert nat is not None and len(nat[0]) == tot
+        out.append((KmerIndex(*nat), i0))
+        off += tot
+    return out
 
 
 def sort_kmers(db, kmer: int, suppress: int = 0,

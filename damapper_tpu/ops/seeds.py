@@ -114,12 +114,14 @@ def match_seeds(aidx: KmerIndex, bidx: KmerIndex,
     sel = hit & (ct < limit)
     if not sel.any():
         return empty
+    raw = _expand_groups(aidx, bidx, a_starts[sel], a_ends[sel],
+                         b_lo[sel], cb[sel])
+    return _sort_hits(*raw)
 
-    gs_a, ge_a = a_starts[sel], a_ends[sel]
-    gs_b = b_lo[sel]
-    ncb = cb[sel]
 
-    # expand a rows: every a entry of each selected group
+def _expand_groups(aidx, bidx, gs_a, ge_a, gs_b, ncb):
+    """Expand selected code groups into raw (aread, bread, apos, diag)
+    rows in the reference's emission order (a entries × b entries)."""
     na_per_group = (ge_a - gs_a)
     a_rows = _grouped_arange(gs_a, na_per_group)            # indices into aidx
     cb_per_arow = np.repeat(ncb, na_per_group)
@@ -132,7 +134,10 @@ def match_seeds(aidx: KmerIndex, bidx: KmerIndex,
     apos = aidx.rpos[a_all]
     bread = bidx.read[b_rows]
     diag = apos - bidx.rpos[b_rows]
+    return aread, bread, apos, diag
 
+
+def _sort_hits(aread, bread, apos, diag) -> SeedHits:
     # single-key stable sort instead of a 3-key np.lexsort: pack
     # (aread, bread, apos) into one uint64 (21+11+32 bits); a stable
     # argsort preserves the emission order of exact ties like the
@@ -149,6 +154,62 @@ def match_seeds(aidx: KmerIndex, bidx: KmerIndex,
                     bread[order].astype(np.int32),
                     apos[order].astype(np.int32),
                     diag[order].astype(np.int32))
+
+
+def match_seeds_multi(aidx: KmerIndex, subs, mem_limit: int = 0,
+                      db_bytes: int = 0) -> SeedHits:
+    """match_seeds against a read-range-partitioned reference index
+    (kmers.sort_kmers_partitioned): per-code counts are merged across
+    partitions so the -M governor and the MAXGRAM cap apply at BLOCK
+    level, making the hit set identical to the unpartitioned match.
+    subs: [(KmerIndex, first_read), ...]; emitted bread is block-local.
+
+    Ties in the final (aread, bread, apos) sort share a bread, and a
+    bread lives in exactly one partition, so per-partition emission
+    preserves the reference's stable order.
+    """
+    empty = SeedHits(*(np.zeros(0, np.int32),) * 4)
+    if len(aidx) == 0 or not subs:
+        return empty
+    a_starts, a_ends = _group_ranges(aidx.code)
+    a_codes = aidx.code[a_starts]
+    ca = (a_ends - a_starts)
+
+    ranges = []
+    cbt = np.zeros(len(a_codes), np.int64)
+    blen = 0
+    for idx, i0 in subs:
+        lo, hi = _locate_ranges(idx.code, a_codes)
+        ranges.append((lo, hi))
+        cbt += hi - lo
+        blen += len(idx)
+    hit = cbt > 0
+    ct = ca * cbt
+
+    if mem_limit > 0:
+        hitgram = np.zeros(MAXGRAM, np.int64)
+        small = hit & (ct < MAXGRAM)
+        np.add.at(hitgram, ct[small], 1)
+        limit = match_limit(hitgram, mem_limit, db_bytes, len(aidx), blen)
+    else:
+        limit = np.iinfo(np.int64).max
+
+    sel = hit & (ct < limit)
+    if not sel.any():
+        return empty
+
+    parts = []
+    for (idx, i0), (lo, hi) in zip(subs, ranges):
+        s = sel & (hi > lo)
+        if not s.any():
+            continue
+        aread, bread, apos, diag = _expand_groups(
+            aidx, idx, a_starts[s], a_ends[s], lo[s], (hi - lo)[s])
+        parts.append((aread, bread + i0, apos, diag))
+    if not parts:
+        return empty
+    cat = [np.concatenate([p[i] for p in parts]) for i in range(4)]
+    return _sort_hits(*cat)
 
 
 def _grouped_arange(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:

@@ -21,8 +21,8 @@ from ..io import db as dbio
 from ..io import las as lasio
 from ..io.tracks import merge_mask_tracks
 from ..ops.chain import ChainState
-from ..ops.kmers import sort_kmers
-from ..ops.seeds import match_seeds
+from ..ops.kmers import sort_kmers, sort_kmers_partitioned
+from ..ops.seeds import match_seeds, match_seeds_multi
 from ..ops.spec import new_align_spec
 from .reporter import Reporter
 
@@ -150,15 +150,31 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
         ref_blk = read_block(blk_path, cfg.masks, cfg.kmer)
         bstart = ref_blk.tfirst
 
+        # sub-partition large blocks so each index sort stays cache-resident
+        # (bit-exact: merged per-code counts keep block-level -M/MAXGRAM
+        # semantics; disabled under -t, whose culling is per-block index)
+        sub_bases = int(os.environ.get("DAMAPPER_SUBBLOCK", 24_000_000))
+        use_sub = (sub_bases > 0 and cfg.suppress == 0
+                   and ref_blk.totlen > 2 * sub_bases)
+
         for comp in (0, 1):
             if comp:
                 ref_blk.complement_inplace()
-            aindex = sort_kmers(ref_blk, cfg.kmer, cfg.suppress,
-                                scratch=kscratch)
             db_bytes = reads_db.sizeof() + ref_blk.sizeof()
-            hits = match_seeds(bindex, aindex, cfg.mem_limit, db_bytes)
+            if use_sub:
+                subs = sort_kmers_partitioned(ref_blk, cfg.kmer, sub_bases,
+                                              kscratch)
+                aindex = None
+                hits = match_seeds_multi(bindex, subs, cfg.mem_limit,
+                                         db_bytes)
+            else:
+                aindex = sort_kmers(ref_blk, cfg.kmer, cfg.suppress,
+                                    scratch=kscratch)
+                hits = match_seeds(bindex, aindex, cfg.mem_limit, db_bytes)
             if cfg.verbose:
-                print(f"   Block {k} comp={comp}: index = {len(aindex):,} "
+                nidx = (sum(len(i) for i, _ in subs) if aindex is None
+                        else len(aindex))
+                print(f"   Block {k} comp={comp}: index = {nidx:,} "
                       f"kmers, hit count = {len(hits):,}", file=sys.stderr)
             before = sum(len(c) for c in state.cands)
             state.process_hits(hits, bstart, comp)

@@ -217,3 +217,16 @@ def test_e2e_mask_tracks(tmp_path):
     assert len(grecs) > 0
     d = diff_las(grecs, orecs)
     assert not d, d
+
+
+def test_e2e_subblock_partitioning(tmp_path, monkeypatch):
+    """Internal read-range sub-partitioning of ref blocks (cache-resident
+    index sorts) must be invisible in the output: merged per-code counts
+    keep block-level -M/MAXGRAM semantics."""
+    (tmp_path / "ours").mkdir()
+    make_dataset(tmp_path, seed=31, glen=120_000, ncontigs=4, nreads=20)
+    monkeypatch.setenv("DAMAPPER_SUBBLOCK", "9000")   # many partitions
+    grecs, orecs = run_both(tmp_path, ["-k20", "-T2"], DamapperConfig())
+    assert len(grecs) > 0
+    d = diff_las(grecs, orecs)
+    assert not d, d
