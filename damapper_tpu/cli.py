@@ -35,8 +35,13 @@ def _expand_block_arg(arg: str) -> list[str]:
     i = first
     while last is None or i <= last:
         p = arg[:m.start()] + str(i) + arg[m.end():]
-        if last is None and not os.path.exists(p):
-            break
+        if not os.path.exists(p):
+            if last is None:
+                break
+            # explicit '@f-l' ranges are validated eagerly, matching
+            # Next_Block_Arg's guarded fopen (DB.c:2735-2752)
+            print(f"Cannot find file {p}", file=sys.stderr)
+            raise SystemExit(1)
         out.append(p)
         i += 1
     return out

@@ -526,8 +526,14 @@ def _write_db_files(pwd, root, ext, reads, seqs, bps, bsize, cutoff, all_wells,
                 tblocks.append(tcount)
                 acc = 0
     if ublocks[-1] != nreads:
-        ublocks.append(nreads)
-        tblocks.append(tcount)
+        if tcount == tblocks[-1]:
+            # only cutoff-filtered reads trail the last closed block:
+            # extend it instead of emitting an empty trimmed block
+            # (DBsplit never writes a zero-read block)
+            ublocks[-1] = nreads
+        else:
+            ublocks.append(nreads)
+            tblocks.append(tcount)
     nblocks = len(ublocks) - 1
 
     stub = DBStub(nfiles=len(stub_files),

@@ -78,8 +78,9 @@ def radix_sort_u64(key, nthreads: int = 0, active_mask: int = None):
     if nthreads <= 0:
         nthreads = min(8, os.cpu_count() or 4)
     if active_mask is None:
-        active_mask = int(np.bitwise_or.reduce(
-            key[:: max(1, n // 4096)]).item() | int(key.max()))
+        # full OR over the keys: one cheap pass, and unlike sampling it can
+        # never skip a radix byte that is nonzero only in unsampled keys
+        active_mask = int(np.bitwise_or.reduce(key))
     try:
         lib = radix_lib()
     except Exception:

@@ -315,6 +315,8 @@ class ChainState:
                             apos1.ctypes.data, bpos1.ctypes.data, self.kmer)
         try:
             nmeta = lib.result_meta_len(h)
+            if nmeta == 0:
+                return
             meta = np.ctypeslib.as_array(lib.result_meta(h),
                                          shape=(nmeta,)).reshape(-1, 8)
             njmp = lib.result_jumps_len(h)

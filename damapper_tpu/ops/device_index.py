@@ -1,0 +1,529 @@
+"""Device-resident k-mer index build + seed matching (jax/XLA).
+
+TPU-native equivalent of Sort_Kmers + Match_Filter's count/merge passes
+(reference map.c:447-822, 825-1002, 2889-3208), producing results bit-exact
+with the host path (ops.kmers.sort_kmers / ops.seeds.match_seeds):
+
+ * Codes are the same 2-bit big-endian rolling codes, but carried as TWO
+   uint32 planes (hi = code >> 32, lo = code & 0xffffffff): TPUs run with
+   x64 disabled and 32-bit lanes are the native VPU width, so a 2-key
+   `lax.sort` over (hi, lo) replaces the reference's 8-bit LSD radix passes
+   (map.c:316-444) — the whole index build is one fused XLA program.
+ * Window validity (read-boundary sentinels and soft-mask intervals,
+   tuple_thread map.c:481-543) comes from a prefix-sum over bad positions:
+   a window is valid iff it contains zero sentinel/masked bases.  Invalid
+   windows get the all-ones sentinel key, so the sort parks them at the
+   end — the same pad-fill trick as map.c:536-543.
+ * Seed matching is the two-pass count-then-emit pattern the reference
+   already uses (count_thread/merge_thread map.c:881-1002): pass 1 locates
+   each a-entry's b-range with a vectorized 2-plane binary search, derives
+   the -M hit-count histogram (map.c:2992-3052) and the total hit count;
+   pass 2 emits into a bucket-padded buffer via cumsum+searchsorted index
+   algebra and sorts by (aread, bread, apos) with a stable 3-key lax.sort.
+   Emission order (a-entries in index order x b-entries in index order)
+   matches the reference exactly, so stable-sort ties land identically.
+
+Shapes are bucketed (next power-of-two style padding) so each distinct
+compiled program is reused across blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .kmers import KmerIndex
+from .seeds import MAXGRAM, SeedHits, match_limit
+
+
+def _bucket(n: int, lo: int = 1 << 12) -> int:
+    """Pad size n up to a bounded set of compile shapes: powers of two with
+    one midpoint each (1.0x and 1.5x), minimum lo."""
+    if n <= lo:
+        return lo
+    p = 1 << (int(n - 1).bit_length() - 1)
+    return int(p + p // 2) if n <= p + p // 2 else int(2 * p)
+
+
+# ---------------------------------------------------------------------------
+# index build
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DeviceKmerIndex:
+    """Sorted k-mer index resident on device (split-key layout).
+
+    hi/lo/read/rpos are padded device arrays of the same bucketed length;
+    entries [n:] are sentinel-keyed padding.  `n` is the number of live
+    (valid, uncluded) entries."""
+
+    hi: jax.Array      # uint32[cap] sorted composite key, high plane
+    lo: jax.Array      # uint32[cap] low plane
+    read: jax.Array    # int32[cap]
+    rpos: jax.Array    # int32[cap]
+    n: int
+
+    def __len__(self):
+        return self.n
+
+    def to_host(self) -> KmerIndex:
+        """Materialize as the host KmerIndex (for parity tests and the
+        host chain path)."""
+        hi = np.asarray(self.hi[: self.n]).astype(np.uint64)
+        lo = np.asarray(self.lo[: self.n]).astype(np.uint64)
+        return KmerIndex((hi << np.uint64(32)) | lo,
+                         np.asarray(self.read[: self.n]),
+                         np.asarray(self.rpos[: self.n]))
+
+
+@functools.partial(jax.jit, static_argnames=("kmer", "suppress"))
+def _build_index(seq, bad, read_of, boff_of, kmer: int, suppress: int):
+    """Jitted index build over a padded sequence array.
+
+    seq:     uint8[L] numeric bases with 4-sentinels (padding is sentinel)
+    bad:     uint8[L] 1 where the position cannot be inside a k-mer window
+             (sentinel or soft-masked)
+    read_of: int32[L] read id per position
+    boff_of: int32[L] read start offset per position
+    """
+    L = seq.shape[0]
+    n = L - kmer + 1
+    s = seq.astype(jnp.uint32)
+
+    # validity: zero bad positions in the window (prefix-sum differencing)
+    cum = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                           jnp.cumsum(bad.astype(jnp.int32))])
+    valid = (cum[kmer:kmer + n] - cum[:n]) == 0
+
+    # rolling codes, split into two 32-bit planes
+    klo = min(kmer, 16)
+    khi = kmer - klo
+    lo = jnp.zeros(n, jnp.uint32)
+    for x in range(khi, kmer):
+        lo = (lo << 2) | lax.dynamic_slice(s, (x,), (n,))
+    hi = jnp.zeros(n, jnp.uint32)
+    for x in range(khi):
+        hi = (hi << 2) | lax.dynamic_slice(s, (x,), (n,))
+
+    sent = jnp.uint32(0xFFFFFFFF)
+    hi = jnp.where(valid, hi, sent)
+    lo = jnp.where(valid, lo, sent)
+    read = jnp.where(valid, read_of[:n], 0)
+    rpos = jnp.where(valid, jnp.arange(n, dtype=jnp.int32)
+                     - boff_of[:n] + (kmer - 1), 0)
+
+    if kmer == 32:
+        # only at k=32 can a real code (T^32) equal the all-ones sentinel:
+        # a third sort key parks invalid entries after the real ones while
+        # keeping position order within each (hi, lo, flag) run
+        inv = (~valid).astype(jnp.uint32)
+        hi, lo, inv, read, rpos = lax.sort((hi, lo, inv, read, rpos),
+                                           num_keys=3, is_stable=True)
+    else:
+        hi, lo, read, rpos = lax.sort((hi, lo, read, rpos), num_keys=2,
+                                      is_stable=True)
+    nvalid = jnp.sum(valid.astype(jnp.int32))
+
+    if suppress:
+        # drop k-mers with multiplicity >= suppress (strict <, map.c:604):
+        # re-key culled entries to the sentinel and re-sort (stable), the
+        # device analog of the compress pass (map.c:613-636)
+        new = (hi != jnp.concatenate([hi[:1] ^ sent, hi[:-1]])) | \
+              (lo != jnp.concatenate([lo[:1] ^ sent, lo[:-1]]))
+        seg = jnp.cumsum(new.astype(jnp.int32)) - 1
+        ones = jnp.ones(n, jnp.int32)
+        counts = jax.ops.segment_sum(ones, seg, num_segments=n)
+        live = jnp.arange(n, dtype=jnp.int32) < nvalid
+        keep = (counts[seg] < suppress) & live
+        hi = jnp.where(keep, hi, sent)
+        lo = jnp.where(keep, lo, sent)
+        read = jnp.where(keep, read, 0)
+        rpos = jnp.where(keep, rpos, 0)
+        # third key: culled entries re-keyed to the sentinel must sort
+        # after any real sentinel-valued code (T^16.. at k=32)
+        cull = (~keep).astype(jnp.uint32)
+        hi, lo, cull, read, rpos = lax.sort((hi, lo, cull, read, rpos),
+                                            num_keys=3, is_stable=True)
+        nvalid = jnp.sum(keep.astype(jnp.int32))
+
+    # pad back to the bucketed capacity L (kmer-1 sentinel entries): keeps
+    # array lengths mesh-divisible for contiguous axis sharding
+    pad = L - n
+    if pad:
+        hi = jnp.concatenate([hi, jnp.full(pad, sent, jnp.uint32)])
+        lo = jnp.concatenate([lo, jnp.full(pad, sent, jnp.uint32)])
+        read = jnp.concatenate([read, jnp.zeros(pad, jnp.int32)])
+        rpos = jnp.concatenate([rpos, jnp.zeros(pad, jnp.int32)])
+    return hi, lo, read, rpos, nvalid
+
+
+def _position_maps(db):
+    """Host-side per-position read id / read start arrays for a loaded DB."""
+    L = len(db.seq)
+    boffs = db.reads["boff"].astype(np.int64)
+    rlens = db.reads["rlen"].astype(np.int64)
+    read_of = np.zeros(L, np.int32)
+    boff_of = np.zeros(L, np.int32)
+    # mark read starts; positions before the first read / between reads are
+    # sentinels, whose windows are invalid anyway
+    marks = np.zeros(L, np.int32)
+    marks[boffs] = 1
+    read_of = np.cumsum(marks, dtype=np.int32) - 1
+    starts = np.zeros(L, np.int32)
+    starts[boffs] = np.concatenate([[boffs[0]],
+                                    np.diff(boffs)]).astype(np.int32)
+    boff_of = np.cumsum(starts, dtype=np.int32)
+    return read_of, boff_of
+
+
+def _bad_positions(db) -> np.ndarray:
+    """uint8[L]: 1 at sentinel or soft-masked positions."""
+    bad = (db.seq >= 4).astype(np.uint8)
+    if db.tracks:
+        anno, data, _ = next(iter(db.tracks.values()))
+        boffs = db.reads["boff"]
+        for i in range(db.nreads):
+            seg = data[int(anno[i]):int(anno[i + 1])]
+            b = int(boffs[i])
+            for j in range(0, len(seg), 2):
+                bad[b + int(seg[j]):b + int(seg[j + 1])] = 1
+    return bad
+
+
+def device_sort_kmers(db, kmer: int, suppress: int = 0) -> DeviceKmerIndex:
+    """Build the sorted, culled k-mer index of a loaded block on device
+    (Sort_Kmers map.c:655 equivalent; bit-exact with kmers.sort_kmers)."""
+    assert db.seq is not None, "db.load_bases() first"
+    assert kmer <= 32
+    L = len(db.seq)
+    cap = _bucket(L)
+    seq = np.full(cap, 4, np.uint8)
+    seq[:L] = db.seq
+    bad = np.ones(cap, np.uint8)
+    bad[:L] = _bad_positions(db)
+    read_of = np.zeros(cap, np.int32)
+    boff_of = np.zeros(cap, np.int32)
+    ro, bo = _position_maps(db)
+    read_of[:L], boff_of[:L] = ro, bo
+
+    hi, lo, read, rpos, nvalid = _build_index(
+        jnp.asarray(seq), jnp.asarray(bad), jnp.asarray(read_of),
+        jnp.asarray(boff_of), kmer, suppress)
+    return DeviceKmerIndex(hi, lo, read, rpos, int(nvalid))
+
+
+# ---------------------------------------------------------------------------
+# seed matching
+# ---------------------------------------------------------------------------
+
+
+def _searchsorted2(khi, klo, qhi, qlo, side: str):
+    """Vectorized binary search over a 2-plane sorted key array: a fixed
+    log2(n) loop of gathered compares (static shapes, TPU-friendly)."""
+    n = khi.shape[0]
+    lo = jnp.zeros(qhi.shape, jnp.int32)
+    hi = jnp.full(qhi.shape, n, jnp.int32)
+    steps = max(1, int(np.ceil(np.log2(max(2, n)))) + 1)
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        mh = khi[mid]
+        ml = klo[mid]
+        if side == "left":
+            less = (mh < qhi) | ((mh == qhi) & (ml < qlo))
+        else:
+            less = (mh < qhi) | ((mh == qhi) & (ml <= qlo))
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+    return lo
+
+
+@functools.partial(jax.jit, static_argnames=("use_gram",))
+def _match_count(ahi, alo, aread, arpos, bhi, blo, an, bn, use_gram: bool):
+    """Pass 1: per-a-entry b-ranges, per-group totals, hit histogram and
+    the total emitted-hit count (before the -M cap)."""
+    n = ahi.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    live = idx < an
+
+    b_lo = _searchsorted2(bhi, blo, ahi, alo, "left")
+    b_hi = _searchsorted2(bhi, blo, ahi, alo, "right")
+    # clamp to the live b region: sentinel-keyed padding must never match
+    # (a real T^32 code at k=32 equals the sentinel key)
+    b_lo = jnp.minimum(b_lo, bn)
+    b_hi = jnp.minimum(b_hi, bn)
+    cb = jnp.where(live, b_hi - b_lo, 0).astype(jnp.int32)
+
+    # group structure over the a index (equal composite keys)
+    prev_ne = (ahi != jnp.concatenate([~ahi[:1], ahi[:-1]])) | \
+              (alo != jnp.concatenate([~alo[:1], alo[:-1]]))
+    seg = jnp.cumsum(prev_ne.astype(jnp.int32)) - 1
+    ca = jax.ops.segment_sum(jnp.where(live, 1, 0).astype(jnp.int32),
+                             seg, num_segments=n)
+    # ca*cb can overflow int32; a float32 product is exact below 2^24 and
+    # only ever compared against thresholds <= MAXGRAM, so large values just
+    # need to stay large
+    ctf = ca[seg].astype(jnp.float32) * cb.astype(jnp.float32)
+    ct = jnp.minimum(ctf, jnp.float32(0x7FFFFF00)).astype(jnp.int32)
+    # hitgram over groups (first entry of each group only)
+    if use_gram:
+        first = prev_ne & live & (cb > 0)
+        ctc = jnp.clip(ct, 0, MAXGRAM - 1)
+        gram = jax.ops.segment_sum(
+            jnp.where(first & (ct < MAXGRAM), 1, 0).astype(jnp.int32),
+            jnp.where(first, ctc, 0), num_segments=MAXGRAM)
+        gram = gram.at[0].set(0)
+    else:
+        gram = jnp.zeros(MAXGRAM, jnp.int32)
+    return b_lo, cb, ct, gram
+
+
+@jax.jit
+def _match_emit_prep(cb, ct, limit):
+    """Selection mask + per-a-row output offsets + total."""
+    sel = (cb > 0) & (ct < limit)
+    take = jnp.where(sel, cb, 0)
+    cum = jnp.cumsum(take.astype(jnp.int32))
+    total = cum[-1]
+    return sel, cum, total
+
+
+@functools.partial(jax.jit, static_argnames=("ncap",))
+def _match_emit(aread, arpos, bread, brpos, b_lo, cum, ncap: int):
+    """Pass 2: emit hits into an ncap-padded buffer and sort by
+    (aread, bread, apos), stable."""
+    t = jnp.arange(ncap, dtype=jnp.int32)
+    total = cum[-1]
+    # a_row = first row whose inclusive cumsum exceeds t
+    a_row = jnp.searchsorted(cum, t, side="right").astype(jnp.int32)
+    a_row = jnp.minimum(a_row, cum.shape[0] - 1)
+    prev = jnp.where(a_row > 0, cum[jnp.maximum(a_row - 1, 0)], 0)
+    b_off = (t - prev).astype(jnp.int32)
+    b_row = b_lo[a_row] + b_off
+
+    pad = t >= total
+    big = jnp.int32(0x7FFFFFFF)
+    ar = jnp.where(pad, big, aread[a_row])
+    ap = jnp.where(pad, 0, arpos[a_row])
+    br = jnp.where(pad, 0, bread[jnp.minimum(b_row, bread.shape[0] - 1)])
+    dg = jnp.where(pad, 0,
+                   ap - brpos[jnp.minimum(b_row, brpos.shape[0] - 1)])
+    ar, br, ap, dg = lax.sort((ar, br, ap, dg), num_keys=3, is_stable=True)
+    return ar, br, ap, dg
+
+
+def device_match_seeds(aidx: DeviceKmerIndex, bidx: DeviceKmerIndex,
+                       mem_limit: int = 0, db_bytes: int = 0) -> SeedHits:
+    """Intersect two device k-mer indexes; returns host SeedHits bit-exact
+    with seeds.match_seeds (Match_Filter passes, map.c:2889-3135)."""
+    empty = SeedHits(*(np.zeros(0, np.int32),) * 4)
+    if aidx.n == 0 or bidx.n == 0:
+        return empty
+
+    b_lo, cb, ct, gram = _match_count(aidx.hi, aidx.lo, aidx.read, aidx.rpos,
+                                      bidx.hi, bidx.lo,
+                                      jnp.int32(aidx.n), jnp.int32(bidx.n),
+                                      mem_limit > 0)
+    if mem_limit > 0:
+        hitgram = np.asarray(gram)
+        limit = match_limit(hitgram, mem_limit, db_bytes, aidx.n, bidx.n)
+    else:
+        limit = np.iinfo(np.int32).max
+
+    sel, cum, total = _match_emit_prep(cb, ct, jnp.int32(min(limit,
+                                                             0x7FFFFFFF)))
+    total = int(total)
+    if total == 0:
+        return empty
+    ncap = _bucket(total)
+    ar, br, ap, dg = _match_emit(aidx.read, aidx.rpos, bidx.read, bidx.rpos,
+                                 b_lo, cum, ncap)
+    return SeedHits(np.asarray(ar[:total]), np.asarray(br[:total]),
+                    np.asarray(ap[:total]), np.asarray(dg[:total]))
+
+
+# ---------------------------------------------------------------------------
+# multi-chip sharded matching (mesh axes: "dp" = reads/seed data parallel,
+# "ref" = reference-index memory sharding)
+# ---------------------------------------------------------------------------
+#
+# The TPU equivalent of the reference's two scaling axes (SURVEY.md §2.2):
+# thread/cluster data-parallelism over a-reads (map.c:2966-2978,
+# HPC.damapper.c:359-443) maps to "dp" shards of the reads index; block
+# streaming of the reference (damapper.c:835-864) maps to "ref" shards of
+# the sorted reference index, with the per-group hit totals merged by a
+# psum over "ref" (the collective replacing the coff-cache accumulation,
+# map.c:2874-2888).  Emission happens per (dp, ref) device pair; one global
+# stable 3-key sort of the gathered, pad-keyed buffers restores the exact
+# reference hit order (ties = same a-entry, b-entries ascending across ref
+# shards in shard order).
+
+
+def shard_index(idx: DeviceKmerIndex, mesh, axis: str) -> DeviceKmerIndex:
+    """Re-place an index's arrays contiguously sharded over a mesh axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P(axis))
+    return DeviceKmerIndex(
+        jax.device_put(idx.hi, sh), jax.device_put(idx.lo, sh),
+        jax.device_put(idx.read, sh), jax.device_put(idx.rpos, sh), idx.n)
+
+
+_SHARDED_CACHE: dict = {}
+
+
+def _sharded_fns(mesh):
+    """Build (count_fn, emit_fn_factory) for a (dp, ref) mesh (cached)."""
+    from jax.sharding import PartitionSpec as P
+
+    key = (id(mesh), mesh.shape["dp"], mesh.shape["ref"])
+    if key in _SHARDED_CACHE:
+        return _SHARDED_CACHE[key]
+    ndp = mesh.shape["dp"]
+    nref = mesh.shape["ref"]
+
+    def _local_ranges(ahi_l, alo_l, bhi_l, blo_l, bn_l):
+        """Per-(dp,ref)-device b-ranges of the local a slice against the
+        local b slice.  bn_l: live entries in this b shard (1-elem)."""
+        b_lo = _searchsorted2(bhi_l, blo_l, ahi_l, alo_l, "left")
+        b_hi = _searchsorted2(bhi_l, blo_l, ahi_l, alo_l, "right")
+        b_lo = jnp.minimum(b_lo, bn_l[0])
+        b_hi = jnp.minimum(b_hi, bn_l[0])
+        return b_lo, (b_hi - b_lo).astype(jnp.int32)
+
+    def count_local(ahi, alo, bhi, blo, bn_l):
+        b_lo, cb_l = _local_ranges(ahi, alo, bhi, blo, bn_l)
+        cb_g = lax.psum(cb_l, "ref")
+        return cb_g, cb_l
+
+    count = jax.jit(jax.shard_map(
+        count_local, mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P("ref"), P("ref"), P("ref")),
+        out_specs=(P("dp"), P(("ref", "dp"))), check_vma=False))
+
+    def emit_factory(ncap: int):
+        def emit_local(sel, aread, arpos, ahi, alo, bhi, blo, bn_l,
+                       bread, brpos):
+            # recompute local ranges (cheaper than shipping (nref, n) maps)
+            b_lo, cb_l = _local_ranges(ahi, alo, bhi, blo, bn_l)
+            take = jnp.where(sel, cb_l, 0)
+            cum = jnp.cumsum(take)
+            total = cum[-1]
+            t = jnp.arange(ncap, dtype=jnp.int32)
+            a_row = jnp.searchsorted(cum, t, side="right").astype(jnp.int32)
+            a_row = jnp.minimum(a_row, cum.shape[0] - 1)
+            prev = jnp.where(a_row > 0, cum[jnp.maximum(a_row - 1, 0)], 0)
+            b_off = t - prev
+            b_row = b_lo[a_row] + b_off
+            pad = t >= total
+            big = jnp.int32(0x7FFFFFFF)
+            ar = jnp.where(pad, big, aread[a_row])
+            ap = jnp.where(pad, 0, arpos[a_row])
+            bm = jnp.minimum(b_row, bread.shape[0] - 1)
+            br = jnp.where(pad, 0, bread[bm])
+            dg = jnp.where(pad, 0, ap - brpos[bm])
+            # tie-break planes for the global sort: ties in (aread, bread,
+            # apos) are same-a-row hits whose reference order is ascending
+            # b_row = (ref shard, local b_row) in shard-major order
+            shard = lax.axis_index("ref").astype(jnp.int32)
+            t1 = jnp.where(pad, big, shard)
+            t2 = jnp.where(pad, big, b_row)
+            return ar, br, ap, t1, t2, dg
+
+        def emit_sorted(*args):
+            ar, br, ap, t1, t2, dg = jax.shard_map(
+                emit_local, mesh=mesh,
+                in_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
+                          P("ref"), P("ref"), P("ref"), P("ref"), P("ref")),
+                out_specs=(P(("dp", "ref")),) * 6, check_vma=False)(*args)
+            # global stable sort: orders hits AND compacts pads to the end
+            ar, br, ap, t1, t2, dg = lax.sort((ar, br, ap, t1, t2, dg),
+                                              num_keys=5, is_stable=True)
+            return ar, br, ap, dg
+
+        return jax.jit(emit_sorted)
+
+    fns = (count, functools.lru_cache(maxsize=None)(emit_factory))
+    _SHARDED_CACHE[key] = fns
+    return fns
+
+
+def device_match_seeds_sharded(aidx: DeviceKmerIndex, bidx: DeviceKmerIndex,
+                               mesh, mem_limit: int = 0,
+                               db_bytes: int = 0) -> SeedHits:
+    """Sharded Match_Filter: aidx sharded over "dp", bidx over "ref".
+
+    Bit-exact with device_match_seeds / the host path: the -M histogram and
+    group caps are computed on psum-merged global counts, and the final
+    5-key sort reproduces the reference emission order exactly."""
+    empty = SeedHits(*(np.zeros(0, np.int32),) * 4)
+    if aidx.n == 0 or bidx.n == 0:
+        return empty
+    nref = mesh.shape["ref"]
+    cap_b = bidx.hi.shape[0]
+    # live entries per b shard (pads live in the trailing shards)
+    per = cap_b // nref
+    bn_l = np.clip(bidx.n - per * np.arange(nref), 0, per).astype(np.int32)
+
+    count, emit_factory = _sharded_fns(mesh)
+    cb_g, cb_l = count(aidx.hi, aidx.lo, bidx.hi, bidx.lo,
+                       jnp.asarray(bn_l))
+
+    # group-level totals + -M histogram on the (replicated) global counts:
+    # identical math to _match_count's epilogue
+    n = aidx.hi.shape[0]
+    live = jnp.arange(n, dtype=jnp.int32) < aidx.n
+    cb_g = jnp.where(live, cb_g, 0)
+    prev_ne = (aidx.hi != jnp.concatenate([~aidx.hi[:1], aidx.hi[:-1]])) | \
+              (aidx.lo != jnp.concatenate([~aidx.lo[:1], aidx.lo[:-1]]))
+    seg = jnp.cumsum(prev_ne.astype(jnp.int32)) - 1
+    ca = jax.ops.segment_sum(jnp.where(live, 1, 0).astype(jnp.int32),
+                             seg, num_segments=n)
+    ctf = ca[seg].astype(jnp.float32) * cb_g.astype(jnp.float32)
+    ct = jnp.minimum(ctf, jnp.float32(0x7FFFFF00)).astype(jnp.int32)
+
+    if mem_limit > 0:
+        first = prev_ne & live & (cb_g > 0)
+        ctc = jnp.clip(ct, 0, MAXGRAM - 1)
+        gram = jax.ops.segment_sum(
+            jnp.where(first & (ct < MAXGRAM), 1, 0).astype(jnp.int32),
+            jnp.where(first, ctc, 0), num_segments=MAXGRAM)
+        gram = np.asarray(gram.at[0].set(0))
+        limit = match_limit(gram, mem_limit, db_bytes, aidx.n, bidx.n)
+    else:
+        limit = np.iinfo(np.int32).max
+
+    sel = (cb_g > 0) & (ct < jnp.int32(min(limit, 0x7FFFFFFF)))
+    total = int(jnp.sum(jnp.where(sel, cb_g, 0)))
+    if total == 0:
+        return empty
+    # per-(dp,ref)-device emission capacity: bounded by the largest local
+    # total; one bucketed compile per capacity class
+    loc_tot = np.asarray(jnp.sum(
+        jnp.where(sel, cb_l.reshape(nref, n), 0), axis=1))
+    ndp = mesh.shape["dp"]
+    # cb_l rows are per-ref-shard over the full a axis; each dp shard takes
+    # a contiguous n/ndp slice, so the true per-device total is a slice sum
+    per_a = n // ndp
+    selv = np.asarray(sel)
+    cbl = np.asarray(cb_l).reshape(nref, n)
+    max_loc = 0
+    for j in range(nref):
+        for i in range(ndp):
+            s = slice(i * per_a, (i + 1) * per_a)
+            max_loc = max(max_loc, int(cbl[j, s][selv[s]].sum()))
+    ncap = _bucket(max(1, max_loc))
+
+    emit = emit_factory(ncap)
+    ar, br, ap, dg = emit(sel, aidx.read, aidx.rpos, aidx.hi, aidx.lo,
+                          bidx.hi, bidx.lo, jnp.asarray(bn_l),
+                          bidx.read, bidx.rpos)
+    return SeedHits(np.asarray(ar[:total]), np.asarray(br[:total]),
+                    np.asarray(ap[:total]), np.asarray(dg[:total]))

@@ -6,8 +6,9 @@ as a 2-bit rolling code, skipping soft-masked intervals, sorted by code with
 sort is stable and only keys on the code, map.c:316-444), then k-mers occurring
 >= `suppress` times dropped (map.c:590-636).
 
-The numpy implementation is the host path; a jax.lax.sort device path is in
-damapper_tpu.ops.device_index.
+This module is the host path (numpy + native C++ builder); the device path
+(split-key jax.lax.sort build + device matching, bit-exact with this one) is
+damapper_tpu.ops.device_index, the default on accelerator platforms.
 """
 
 from __future__ import annotations

@@ -24,8 +24,7 @@ Exact trace encoding (align.h:79-87): a list of ints where a negative value
 B[k]" (1-based), in alignment order.
 
 These run on host: the reference's consumers (LAshow/DaViewer) are CPU tools,
-and segments are <= trace_spacing bp.  The batched device path for bulk trace
-recomputation is damapper_tpu.ops.trace_jax.
+and segments are <= trace_spacing bp.
 """
 
 from __future__ import annotations

@@ -759,6 +759,7 @@ class WaveEngine:
         self._activeP = pool_cap
         self.n_fallback = 0
         self.n_total = 0
+        self.n_hostmin = 0      # lanes routed to the host oracle (tiny rounds)
         # rounds smaller than this run on the host oracle: a padded device
         # bucket costs ~1s of fixed overhead, the oracle is bit-identical
         self.host_min = int(os.environ.get("DAMAPPER_WAVE_HOSTMIN", "16"))
@@ -806,6 +807,9 @@ class WaveEngine:
         # by the dp axis.
         B = min(self.BUCKET, max(8, self._ndp,
                                  1 << (n - 1).bit_length()))
+        if self._ndp > 1 and B % self._ndp:
+            # a sharded batch dimension must divide the dp mesh axis
+            B = -(-B // self._ndp) * self._ndp
         args = [np.asarray(x, np.int32)
                 for x in (abase, bbase, mida, k0, aoffp, boffp)]
         chunks = []
@@ -839,6 +843,7 @@ class WaveEngine:
         out = [None] * n
 
         if n < self.host_min:
+            self.n_hostmin += n
             for i, s in enumerate(seeds):
                 a_np = Anp[s["abase"]:s["abase"] + s["alen"]]
                 b_np = Bnp[s["bbase"]:s["bbase"] + s["blen"]]

@@ -1,34 +1,38 @@
-"""Multi-chip execution: device meshes and the sharded mapping step.
+"""Multi-chip execution: device meshes + the multichip validation run.
 
 The reference scales three ways (SURVEY.md §2.2): pthreads inside a process,
 reference-block streaming against a resident reads index, and cluster-level
 data parallelism over read blocks via generated shell scripts
-(HPC.damapper.c).  The TPU-native equivalents here:
+(HPC.damapper.c).  The TPU-native equivalents, wired into the REAL pipeline
+(pipeline.mapper.run_damapper):
 
   * axis "dp"  — read/seed data parallelism (the reference's thread + cluster
-                 parallelism): each device owns a shard of the seed batch.
-  * axis "ref" — reference k-mer index sharding (the reference's block
-                 streaming, damapper.c:835-864): each device owns a slice of
-                 the sorted index; per-shard hit counts are combined with
-                 psum over ICI instead of the coff-cache accumulation.
+                 parallelism, map.c:2966-2978 / HPC.damapper.c:359-443):
+                 each device owns a shard of the reads k-mer index and of the
+                 batched wave lanes.
+  * axis "ref" — reference k-mer index sharding (the memory axis of the
+                 reference's block streaming, damapper.c:835-864): each
+                 device owns a contiguous slice of the sorted reference
+                 index; per-group hit totals merge with a psum over ICI
+                 (ops.device_index.device_match_seeds_sharded) instead of the
+                 coff-cache accumulation (map.c:2874-2888).
 
-`sharded_map_step` is the canonical multi-chip step: count seed hits against
-the local index shard (psum over "ref"), run the batched wave kernel on the
-local seed shard, and all_gather alignment extents over "dp" so every host
-can report its reads.
+`dryrun(n)` is the driver's multichip validation: it runs the ACTUAL mapper
+twice on a small simulated dataset — single-device versus an n-device
+(dp, ref) mesh with the sharded index/match/wave path — and asserts the
+final `.las` records are identical.
 """
 
 from __future__ import annotations
 
-import functools
+import os
+import tempfile
 
 import jax
-import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
-from ..ops import wave_jax
-from ..ops.spec import AlignSpec, new_align_spec
+_BASES = "ACGT"
 
 
 def make_mesh(n_devices: int | None = None, ref_shards: int | None = None
@@ -44,103 +48,69 @@ def make_mesh(n_devices: int | None = None, ref_shards: int | None = None
     return Mesh(arr, ("dp", "ref"))
 
 
-def build_sharded_step(mesh: Mesh, spec: AlignSpec, band_cap: int = 64,
-                       pool_cap: int = 256):
-    """Return a jitted multi-chip mapping step.
-
-    Inputs (global shapes):
-      ref_codes : uint64[R]  sorted k-mer codes, sharded over "ref"
-      seed_codes: uint64[S]  query k-mer codes per seed, sharded over "dp"
-      abase/bbase/mida/k0: int32[S] seed instances, sharded over "dp"
-      seqmem    : uint8[L]   sequence memory, replicated
-
-    Per step: (1) count exact k-mer hits of each seed code in the local index
-    shard and psum over "ref" (ICI collective), (2) run the forward wave on
-    the local "dp" shard of seeds, (3) all_gather the per-seed alignment
-    extents over "dp".
-    """
-    fwd = wave_jax._mk_kernel(band_cap, pool_cap, reverse=False)
-    consts = (jnp.int32(spec.trace_space), jnp.int32(spec.ave_path),
-              jnp.int32(spec.mscore), jnp.int32(spec.dscore))
-
-    def local_step(ref_codes, seed_codes, abase, bbase, mida, k0, seqmem):
-        # (1) index lookup on the local reference shard + psum over "ref"
-        lo = jnp.searchsorted(ref_codes, seed_codes, side="left")
-        hi = jnp.searchsorted(ref_codes, seed_codes, side="right")
-        counts = (hi - lo).astype(jnp.int32)
-        counts = jax.lax.psum(counts, "ref")
-
-        # (2) the hot kernel on the local seed shard
-        zeros = jnp.zeros_like(abase)
-        out = jax.vmap(
-            lambda ab, bb, md, kk: fwd(ab, bb, md, kk, zeros[0], zeros[0],
-                                       seqmem, seqmem, *consts)
-        )(abase, bbase, mida, k0)
-        extent = out["trima"] - mida        # how far each seed extended
-
-        # (3) gather per-seed results across the data-parallel axis
-        all_extent = jax.lax.all_gather(extent, "dp", tiled=True)
-        all_counts = jax.lax.all_gather(counts, "dp", tiled=True)
-        return all_extent, all_counts
-
-    step = jax.shard_map(
-        local_step, mesh=mesh,
-        in_specs=(P("ref"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
-                  P()),
-        out_specs=(P(), P()),
-        check_vma=False)
-    return jax.jit(step)
+def _sim_genome(rng, length: int) -> str:
+    return "".join(_BASES[i] for i in rng.integers(0, 4, size=length))
 
 
-def demo_inputs(mesh: Mesh, seeds_per_dev: int = 2, glen: int = 2000,
-                seed: int = 0):
-    """Tiny, correctly-sharded inputs for a dry-run step."""
-    dp = mesh.shape["dp"]
-    ref = mesh.shape["ref"]
-    rng = np.random.default_rng(seed)
-
-    nseeds_total = dp * seeds_per_dev
-    seqlen = glen + 4 + nseeds_total * 513 + 4
-    genome = rng.integers(0, 4, glen).astype(np.uint8)
-    seqmem = np.full(seqlen, 4, np.uint8)
-    seqmem[1:1 + glen] = genome
-    roff = 2 + glen
-    # reads: exact copies of genome windows (tiny smoke data)
-    nseeds = dp * seeds_per_dev
-    abase = np.full(nseeds, 1, np.int32)
-    bbase = np.zeros(nseeds, np.int32)
-    mida = np.zeros(nseeds, np.int32)
-    k0 = np.zeros(nseeds, np.int32)
-    pos = roff
-    for i in range(nseeds):
-        st = int(rng.integers(0, glen - 600))
-        frag = genome[st:st + 512]
-        seqmem[pos:pos + 512] = frag
-        bbase[i] = pos
-        apos, bpos = st + 256, 256
-        mida[i] = apos + bpos
-        k0[i] = apos - bpos
-        pos += 513
-    ref_codes = np.sort(rng.integers(0, 1 << 40, 1024 * ref).astype(np.uint64))
-    seed_codes = rng.integers(0, 1 << 40, nseeds).astype(np.uint64)
-
-    def shard(x, spec):
-        return jax.device_put(x, NamedSharding(mesh, spec))
-
-    return (shard(ref_codes, P("ref")), shard(seed_codes, P("dp")),
-            shard(abase, P("dp")), shard(bbase, P("dp")),
-            shard(mida, P("dp")), shard(k0, P("dp")),
-            shard(jnp.asarray(seqmem), P()))
+def _sim_read(rng, genome: str, min_len=1500, max_len=4000, err=0.15) -> str:
+    L = len(genome)
+    n = min(int(rng.integers(min_len, max_len + 1)), L - 1)
+    start = int(rng.integers(0, L - n))
+    frag = genome[start:start + n]
+    if rng.integers(0, 2):
+        frag = frag.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+    out = []
+    for ch in frag:
+        r = rng.random()
+        if r < err:
+            e = rng.random()
+            if e < 0.55:
+                out.append(_BASES[rng.integers(0, 4)])
+                out.append(ch)
+            elif e < 0.80:
+                pass
+            else:
+                out.append(_BASES[(_BASES.index(ch) + 1
+                                   + rng.integers(0, 3)) % 4])
+        else:
+            out.append(ch)
+    return "".join(out)
 
 
 def dryrun(n_devices: int) -> None:
-    """Compile + execute one sharded step on an n-device mesh (the driver's
-    multichip validation entry; see __graft_entry__.dryrun_multichip)."""
-    mesh = make_mesh(n_devices)
-    spec = new_align_spec(.85, 100, [.25, .25, .25, .25], True)
-    step = build_sharded_step(mesh, spec)
-    args = demo_inputs(mesh)
-    extent, counts = step(*args)
-    extent.block_until_ready()
-    assert extent.shape[0] == mesh.shape["dp"] * 2
-    assert (np.asarray(extent) >= 0).any()
+    """Execute the REAL mapper single-device and on an n-device (dp, ref)
+    mesh (sharded index + sharded seed match + dp-sharded waves) and require
+    record-identical `.las` output (the driver's multichip validation;
+    see __graft_entry__.dryrun_multichip)."""
+    from ..io import db as dbio
+    from ..io import fasta
+    from ..io import las as lasio
+    from ..pipeline.mapper import DamapperConfig, run_damapper
+
+    rng = np.random.default_rng(12)
+    glen = 40_000
+    genome = _sim_genome(rng, glen)
+    entries = [fasta.FastaEntry("ctg0", genome[:glen // 2]),
+               fasta.FastaEntry("ctg1", genome[glen // 2:])]
+    reads = [_sim_read(rng, genome) for _ in range(10)]
+
+    mesh = make_mesh(n_devices, ref_shards=2 if n_devices % 2 == 0 else 1)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        dbio.create_dam(os.path.join(tmp, "ref.dam"), entries, bsize=25_000)
+        dbio.create_db(os.path.join(tmp, "reads.db"),
+                       [fasta.FastaEntry(f"r{i}", r)
+                        for i, r in enumerate(reads)])
+        outs = {}
+        for name, m in (("single", None), ("mesh", mesh)):
+            out = os.path.join(tmp, name)
+            os.mkdir(out)
+            cfg = DamapperConfig(wave_backend="jax", index_backend="device",
+                                 mesh=m)
+            a, _ = run_damapper(os.path.join(tmp, "ref.dam"),
+                                os.path.join(tmp, "reads.db"), cfg,
+                                out_dir=out)
+            outs[name], _ = lasio.read_las(a)
+        assert len(outs["single"]) > 0, "dryrun produced no alignments"
+        assert lasio.las_equal(outs["single"], outs["mesh"]), \
+            "multichip .las differs from single-device"

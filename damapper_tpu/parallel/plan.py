@@ -94,6 +94,10 @@ def generate_plan(ref_path: str, reads_path: str, *, bunit: int = 4,
                       f"{src2}.@{fblock}-{lblock}.{root1}.las"
                       if useblock2 else
                       f"python -m damapper_tpu.cli lacheck {src2}.{root1}.las"],
+            "merge": (f"python -m damapper_tpu.cli lamerge "
+                      f"{src2}.{root1}.las "
+                      f"{src2}.@{fblock}-{lblock}.{root1}.las"
+                      if useblock2 else None),
             "resume": {"contract": "block N-1 .las present, block N absent",
                        "first_block": fblock, "last_block": lblock},
         }

@@ -28,15 +28,15 @@ from .reporter import Reporter
 
 
 def _auto_mesh():
-    """Data-parallel mesh over all local devices (None when single-chip):
-    the multi-chip analog of the reference's -T thread fan-out."""
+    """(dp, ref) mesh over all local devices (None when single-chip): "dp"
+    carries the reference's thread/cluster read parallelism, "ref" shards
+    the reference k-mer index (SURVEY.md §2.2)."""
     try:
         import jax
         devs = jax.devices()
         if len(devs) > 1:
-            from jax.sharding import Mesh
-            import numpy as _np
-            return Mesh(_np.array(devs), ("dp",))
+            from ..parallel.mesh import make_mesh
+            return make_mesh(len(devs))
     except Exception:
         pass
     return None
@@ -53,6 +53,19 @@ def _auto_backend() -> str:
     except Exception:
         pass
     return "oracle"
+
+
+def _auto_index() -> str:
+    """Pick the index/matching backend: device (ops.device_index) when an
+    accelerator is attached, host C++/numpy otherwise.  Override with
+    DAMAPPER_INDEX (host | device)."""
+    try:
+        import jax
+        if jax.devices()[0].platform != "cpu":
+            return "device"
+    except Exception:
+        pass
+    return "host"
 
 
 def _physical_memory() -> int:
@@ -84,7 +97,7 @@ class DamapperConfig:
     def __init__(self, kmer=20, suppress=0, mem_limit=None, ave_error=.85,
                  spacing=100, best_tie=1.0, masks=(), verbose=False,
                  profile=False, do_a=True, do_b=False, map_order=True,
-                 wave_backend=None, mesh="auto"):
+                 wave_backend=None, mesh="auto", index_backend=None):
         self.kmer = kmer
         self.suppress = suppress
         self.mem_limit = _physical_memory() if mem_limit is None else mem_limit
@@ -100,6 +113,9 @@ class DamapperConfig:
         if wave_backend is None:
             wave_backend = os.environ.get("DAMAPPER_WAVE") or _auto_backend()
         self.wave_backend = wave_backend
+        if index_backend is None:
+            index_backend = os.environ.get("DAMAPPER_INDEX") or _auto_index()
+        self.index_backend = index_backend
         self.mesh = mesh
 
 
@@ -130,8 +146,26 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
 
     bpwd, broot, _ = dbio._split_db_path(reads_path)
 
+    mesh = cfg.mesh
+    if mesh == "auto":
+        mesh = _auto_mesh()
+
+    use_device_index = cfg.index_backend == "device"
+    # dp x ref sharded matching: reads index sharded over "dp", each ref
+    # block's index over "ref" (the real-pipeline multi-chip path)
+    sharded_ix = (use_device_index and mesh is not None
+                  and "ref" in getattr(mesh, "axis_names", ())
+                  and "dp" in getattr(mesh, "axis_names", ()))
     reads_db = read_block(reads_path, cfg.masks, cfg.kmer)
-    bindex = sort_kmers(reads_db, cfg.kmer, cfg.suppress)
+    if use_device_index:
+        from ..ops.device_index import (device_match_seeds,
+                                        device_match_seeds_sharded,
+                                        device_sort_kmers, shard_index)
+        bindex = device_sort_kmers(reads_db, cfg.kmer, cfg.suppress)
+        if sharded_ix:
+            bindex = shard_index(bindex, mesh, "dp")
+    else:
+        bindex = sort_kmers(reads_db, cfg.kmer, cfg.suppress)
     if cfg.verbose:
         # stage counters mirroring the reference -v (map.c:692-697,792-799)
         print(f"\n   Kmer count = {len(bindex):,}\n"
@@ -161,7 +195,16 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
             if comp:
                 ref_blk.complement_inplace()
             db_bytes = reads_db.sizeof() + ref_blk.sizeof()
-            if use_sub:
+            if use_device_index:
+                aindex = device_sort_kmers(ref_blk, cfg.kmer, cfg.suppress)
+                if sharded_ix:
+                    aindex = shard_index(aindex, mesh, "ref")
+                    hits = device_match_seeds_sharded(
+                        bindex, aindex, mesh, cfg.mem_limit, db_bytes)
+                else:
+                    hits = device_match_seeds(bindex, aindex, cfg.mem_limit,
+                                              db_bytes)
+            elif use_sub:
                 subs = sort_kmers_partitioned(ref_blk, cfg.kmer, sub_bases,
                                               kscratch)
                 aindex = None
@@ -202,9 +245,6 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
 
     engine = None
     if cfg.wave_backend in ("jax", "pallas"):
-        mesh = cfg.mesh
-        if mesh == "auto":
-            mesh = _auto_mesh()
         if cfg.wave_backend == "pallas":
             from ..ops.wave_pallas import PallasWaveEngine
             engine = PallasWaveEngine(spec, mesh=mesh)
@@ -218,6 +258,13 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
                              astart=reads_db.tfirst, profile_out=profile_out)
     if cfg.verbose:
         print(f"      {len(a_recs):,} mapped segments", file=sys.stderr)
+        if engine is not None:
+            # wave-engine telemetry: a silent drift to the host-oracle
+            # fallback would destroy TPU perf while keeping output identical
+            ndev = engine.n_total - engine.n_fallback - engine.n_hostmin
+            print(f"      wave lanes: {engine.n_total:,} total, "
+                  f"{ndev:,} device, {engine.n_fallback:,} overflow-fallback, "
+                  f"{engine.n_hostmin:,} tiny-round host", file=sys.stderr)
 
     a_path = b_path = None
     if cfg.do_a:

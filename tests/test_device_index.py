@@ -1,0 +1,172 @@
+"""Device-resident index/matching (ops.device_index) parity vs the host path.
+
+The host path (ops.kmers / ops.seeds) is itself golden-tested against the
+reference binary, so array equality here extends the same parity contract to
+the device implementation.
+"""
+
+import numpy as np
+import pytest
+
+from damapper_tpu.io import db as dbio
+from damapper_tpu.io import fasta
+from damapper_tpu.ops import device_index as dix
+from damapper_tpu.ops.kmers import sort_kmers
+from damapper_tpu.ops.seeds import match_seeds
+from tests import helpers
+
+
+def make_dbs(tmp_path, seed=5, glen=30_000, nreads=8):
+    rng = np.random.default_rng(seed)
+    genome = helpers.sim_genome(rng, glen)
+    entries = [fasta.FastaEntry("ctg0", genome[:glen // 2]),
+               fasta.FastaEntry("ctg1", genome[glen // 2:])]
+    reads = [helpers.sim_read(rng, genome, min_len=1500, max_len=4000)[0]
+             for _ in range(nreads)]
+    dbio.create_dam(str(tmp_path / "ref.dam"), entries, bsize=glen)
+    dbio.create_db(str(tmp_path / "reads.db"),
+                   [fasta.FastaEntry(f"r{i}", r) for i, r in enumerate(reads)])
+    ref = dbio.DazzDB.open(str(tmp_path / "ref.dam"))
+    ref.trim()
+    ref.load_bases()
+    rd = dbio.DazzDB.open(str(tmp_path / "reads.db"))
+    rd.trim()
+    rd.load_bases()
+    return ref, rd
+
+
+def assert_index_equal(dev: dix.DeviceKmerIndex, host, label=""):
+    h = dev.to_host()
+    assert len(h) == len(host), f"{label}: count {len(h)} != {len(host)}"
+    np.testing.assert_array_equal(h.code, host.code, err_msg=label)
+    np.testing.assert_array_equal(h.read, host.read, err_msg=label)
+    np.testing.assert_array_equal(h.rpos, host.rpos, err_msg=label)
+
+
+@pytest.mark.parametrize("kmer", [14, 20, 32])
+def test_device_index_matches_host(tmp_path, kmer):
+    ref, rd = make_dbs(tmp_path)
+    for db, label in ((ref, "ref"), (rd, "reads")):
+        dev = dix.device_sort_kmers(db, kmer)
+        host = sort_kmers(db, kmer)
+        assert_index_equal(dev, host, f"{label} k={kmer}")
+
+
+def test_device_index_suppress(tmp_path):
+    ref, rd = make_dbs(tmp_path, seed=7)
+    for t in (2, 5):
+        dev = dix.device_sort_kmers(rd, 12, suppress=t)
+        host = sort_kmers(rd, 12, suppress=t)
+        assert_index_equal(dev, host, f"-t{t}")
+
+
+def test_device_index_complemented(tmp_path):
+    ref, rd = make_dbs(tmp_path, seed=9)
+    ref.complement_inplace()
+    dev = dix.device_sort_kmers(ref, 20)
+    host = sort_kmers(ref, 20)
+    assert_index_equal(dev, host, "comp")
+
+
+def test_device_match_matches_host(tmp_path):
+    ref, rd = make_dbs(tmp_path, seed=11, glen=40_000, nreads=10)
+    k = 16
+    adev = dix.device_sort_kmers(rd, k)
+    bdev = dix.device_sort_kmers(ref, k)
+    ahost = sort_kmers(rd, k)
+    bhost = sort_kmers(ref, k)
+    for mem in (0, 1 << 34):
+        hd = dix.device_match_seeds(adev, bdev, mem, 1000)
+        hh = match_seeds(ahost, bhost, mem, 1000)
+        assert len(hd) == len(hh)
+        np.testing.assert_array_equal(hd.aread, hh.aread)
+        np.testing.assert_array_equal(hd.bread, hh.bread)
+        np.testing.assert_array_equal(hd.apos, hh.apos)
+        np.testing.assert_array_equal(hd.diag, hh.diag)
+
+
+def test_device_match_governor(tmp_path):
+    """-M memory governor: device histogram must drive the same limit and
+    the same surviving hit set as the host path."""
+    rng = np.random.default_rng(3)
+    # repetitive genome so some k-mer groups are large
+    unit = helpers.sim_genome(rng, 400)
+    genome = unit * 40
+    entries = [fasta.FastaEntry("ctg0", genome)]
+    reads = [helpers.sim_read(rng, genome, min_len=1200, max_len=2500)[0]
+             for _ in range(6)]
+    dbio.create_dam(str(tmp_path / "ref.dam"), entries, bsize=10 ** 9)
+    dbio.create_db(str(tmp_path / "reads.db"),
+                   [fasta.FastaEntry(f"r{i}", r) for i, r in enumerate(reads)])
+    ref = dbio.DazzDB.open(str(tmp_path / "ref.dam"))
+    ref.trim()
+    ref.load_bases()
+    rd = dbio.DazzDB.open(str(tmp_path / "reads.db"))
+    rd.trim()
+    rd.load_bases()
+    k = 14
+    adev = dix.device_sort_kmers(rd, k)
+    bdev = dix.device_sort_kmers(ref, k)
+    ahost = sort_kmers(rd, k)
+    bhost = sort_kmers(ref, k)
+    db_bytes = rd.sizeof() + ref.sizeof()
+    # a tight budget that actually engages the histogram-derived limit
+    mem = db_bytes + 16 * (len(ahost) + 2 * len(bhost)) + (64 << 10)
+    hd = dix.device_match_seeds(adev, bdev, mem, db_bytes)
+    hh = match_seeds(ahost, bhost, mem, db_bytes)
+    assert len(hd) == len(hh) > 0
+    np.testing.assert_array_equal(hd.aread, hh.aread)
+    np.testing.assert_array_equal(hd.apos, hh.apos)
+    np.testing.assert_array_equal(hd.diag, hh.diag)
+
+
+def test_device_index_masked(tmp_path):
+    """Soft-mask track intervals must suppress the same windows."""
+    ref, rd = make_dbs(tmp_path, seed=13)
+    # synthesize a mask track over the reads db: one interval per read
+    n = rd.nreads
+    anno = np.zeros(n + 1, np.int64)
+    chunks = []
+    total = 0
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        rl = int(rd.reads["rlen"][i])
+        b = int(rng.integers(0, max(1, rl // 2)))
+        e = min(rl, b + int(rng.integers(50, 400)))
+        chunks.append(np.array([b, e], np.int32))
+        anno[i] = total
+        total += 2   # anno is in int units (open_mask_track db.py:422)
+    anno[n] = total
+    rd.tracks["dust"] = (anno, np.concatenate(chunks),
+                         np.full(n, 2, np.int32))
+    dev = dix.device_sort_kmers(rd, 18)
+    host = sort_kmers(rd, 18)
+    assert_index_equal(dev, host, "masked")
+
+
+def test_device_match_sharded(tmp_path):
+    """dp x ref sharded matching on the 8-device CPU mesh must reproduce
+    the host hit list exactly (order included)."""
+    import jax
+    import numpy as _np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    ref, rd = make_dbs(tmp_path, seed=17, glen=40_000, nreads=10)
+    k = 16
+    adev = dix.device_sort_kmers(rd, k)
+    bdev = dix.device_sort_kmers(ref, k)
+    ahost = sort_kmers(rd, k)
+    bhost = sort_kmers(ref, k)
+
+    devs = jax.devices()[:8]
+    mesh = Mesh(_np.array(devs).reshape(4, 2), ("dp", "ref"))
+    a_sh = dix.shard_index(adev, mesh, "dp")
+    b_sh = dix.shard_index(bdev, mesh, "ref")
+    for mem in (0, 1 << 34):
+        hd = dix.device_match_seeds_sharded(a_sh, b_sh, mesh, mem, 1000)
+        hh = match_seeds(ahost, bhost, mem, 1000)
+        assert len(hd) == len(hh) > 0
+        np.testing.assert_array_equal(hd.aread, hh.aread)
+        np.testing.assert_array_equal(hd.bread, hh.bread)
+        np.testing.assert_array_equal(hd.apos, hh.apos)
+        np.testing.assert_array_equal(hd.diag, hh.diag)

@@ -168,6 +168,19 @@ def test_e2e_pallas_wave_backend(tmp_path):
     assert not d, d
 
 
+def test_e2e_device_index_backend(tmp_path):
+    """The device index/matching path (ops.device_index, default on TPU)
+    must reproduce the reference .las end to end."""
+    (tmp_path / "ours").mkdir()
+    make_dataset(tmp_path, seed=29, glen=60_000, ncontigs=2, nreads=10,
+                 bsize=40_000)
+    grecs, orecs = run_both(tmp_path, ["-k20", "-T4"],
+                            DamapperConfig(index_backend="device"))
+    assert len(grecs) > 0
+    d = diff_las(grecs, orecs)
+    assert not d, d
+
+
 def write_mask_track(dbfile, track, ivals_for):
     """Write a reference-format soft-mask track (.root.track.anno/.data):
     anno header [tracklen, size=0] (size==0 marks MASK_TRACK, Check_Track

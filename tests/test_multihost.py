@@ -1,0 +1,75 @@
+"""Multi-host execution: 2-process jax.distributed run of a generated plan
+must produce the same final .las as a single-process run (the cluster
+data-parallel axis of SURVEY.md §2.2, reference HPC.damapper.c:359-498)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from damapper_tpu.io import db as dbio
+from damapper_tpu.io import fasta
+from damapper_tpu.io import las as lasio
+from damapper_tpu.parallel.launch import run_plan_multihost
+from damapper_tpu.parallel.plan import generate_plan
+from tests import helpers
+
+
+def make_blocked_dataset(tmp_path, seed=31, glen=50_000, nreads=12):
+    rng = np.random.default_rng(seed)
+    genome = helpers.sim_genome(rng, glen)
+    entries = [fasta.FastaEntry("ctg0", genome)]
+    reads = [helpers.sim_read(rng, genome, min_len=2000, max_len=4500)[0]
+             for _ in range(nreads)]
+    dbio.create_dam(str(tmp_path / "ref.dam"), entries, bsize=glen)
+    # small bsize so the reads DB splits into multiple blocks (block = the
+    # unit of cluster data parallelism)
+    dbio.create_db(str(tmp_path / "reads.db"),
+                   [fasta.FastaEntry(f"r{i}", r)
+                    for i, r in enumerate(reads)],
+                   bsize=12_000)
+    stub = dbio.read_stub(str(tmp_path / "reads.db"))
+    assert stub.nblocks >= 2, "dataset must split into >= 2 blocks"
+    return stub.nblocks
+
+
+def test_two_process_plan_matches_single(tmp_path):
+    nblocks = make_blocked_dataset(tmp_path)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        plan = generate_plan("ref.dam", "reads.db", bunit=1, nhosts=2,
+                             opts="-k14", fmt="json")
+    finally:
+        os.chdir(cwd)
+    pland = json.loads(plan)
+    assert len(pland["jobs"]) == nblocks
+    assert pland["merge"]
+
+    # 2-process jax.distributed run
+    res2 = run_plan_multihost(plan, nprocs=2, workdir=str(tmp_path))
+    assert res2["rc"] == 0, "\n".join(res2["logs"])
+    merged = tmp_path / "reads.ref.las"
+    assert merged.exists()
+    recs2, ts2 = lasio.read_las(str(merged))
+    assert len(recs2) > 0
+
+    # single-process rerun into a clean dir
+    single = tmp_path / "single"
+    single.mkdir()
+    for f in ("ref.dam", "reads.db"):
+        os.link(tmp_path / f, single / f)
+    for f in tmp_path.iterdir():
+        if f.name.startswith("."):
+            os.link(f, single / f.name)
+    res1 = run_plan_multihost(plan, nprocs=1, workdir=str(single))
+    assert res1["rc"] == 0, "\n".join(res1["logs"])
+    recs1, ts1 = lasio.read_las(str(single / "reads.ref.las"))
+
+    assert ts1 == ts2
+    assert lasio.las_equal(recs1, recs2)
+    # structural sanity of the scaling measurement (true efficiency needs
+    # real multi-core/multi-host hardware; this host has one core)
+    eff = res1["seconds"] / (2 * res2["seconds"])
+    assert eff > 0

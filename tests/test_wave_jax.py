@@ -131,6 +131,30 @@ def test_wave_pallas_matches_oracle(seed, err):
         assert list(eb.trace) == list(gb.trace), f"case {i} B trace"
 
 
+def test_wave_pallas_interpret_matches_oracle():
+    """The actual pallas_call path in interpret mode (use_pallas=True on
+    CPU): catches Mosaic-kernel regressions off-TPU, where the default
+    engine silently takes the identical XLA route instead."""
+    from damapper_tpu.ops.wave_pallas import PallasWaveEngine
+
+    seqmem, insts = make_cases(2000, ncases=2, err=0.15)
+    spec = new_align_spec(0.85, 100, [.25, .25, .25, .25], True)
+    eng = PallasWaveEngine(spec, band_cap=64, pool_cap=2048,
+                           use_pallas=True, interpret=True)
+    dev = jnp.asarray(seqmem)
+    got = eng.local_alignment_batch(dev, dev, seqmem, seqmem, insts)
+    for i, s in enumerate(insts):
+        a_np = seqmem[s["abase"]:s["abase"] + s["alen"]]
+        b_np = seqmem[s["bbase"]:s["bbase"] + s["blen"]]
+        ea, eb = wave.local_alignment(a_np, b_np, spec, s["diag"], s["diag"],
+                                      s["anti"], -1, -1, s["flags"])
+        ga, gb = got[i]
+        assert (ea.abpos, ea.bbpos, ea.aepos, ea.bepos, ea.diffs) == \
+               (ga.abpos, ga.bbpos, ga.aepos, ga.bepos, ga.diffs), f"case {i}"
+        assert list(ea.trace) == list(ga.trace), f"case {i} A trace"
+        assert list(eb.trace) == list(gb.trace), f"case {i} B trace"
+
+
 def test_tiny_round_host_route_identical():
     """Rounds below engine.host_min run on the host oracle; the routed
     results must equal the device path exactly (they share the oracle's
