@@ -268,15 +268,20 @@ class ChainState:
     # -- public entry --------------------------------------------------------
 
     def process_hits(self, hits, bstart: int, comp: int,
-                     native: bool = True) -> None:
+                     native: bool = True, device: bool = False) -> None:
         """Chain all hits of one Match_Filter pass (one ref block, one
         orientation).  hits must be sorted by (aread, bread, apos).
 
-        native=True uses the C++ sweep (damapper_tpu/native/chain_sweep.cpp,
-        identical results); falls back to the Python sweep if the native
-        library cannot be built."""
+        device=True runs the batched XLA sweep (ops.chain_jax) for groups
+        within its capacity and the native sweep for the rest — identical
+        results either way.  native=True uses the C++ sweep
+        (damapper_tpu/native/chain_sweep.cpp); falls back to the Python
+        sweep if the native library cannot be built."""
         n = len(hits)
         if n == 0:
+            return
+        if device:
+            self._process_hits_device(hits, bstart, comp)
             return
         if native:
             try:
@@ -338,3 +343,88 @@ class ChainState:
                                      br + bstart, comp)
         finally:
             lib.result_free(h)
+
+    def _process_hits_device(self, hits, bstart: int, comp: int) -> None:
+        """Batched XLA sweep for bucketable groups + native sweep for
+        oversized ones, candidates pushed in exact group order."""
+        from . import chain_jax
+
+        aread, bread = hits.aread, hits.bread
+        apos1 = np.ascontiguousarray(hits.apos + 1, np.int32)
+        bpos1 = np.ascontiguousarray(apos1 - hits.diag, np.int32)
+        n = len(apos1)
+        brk = np.flatnonzero((np.diff(aread.astype(np.int64)) != 0) |
+                             (np.diff(bread.astype(np.int64)) != 0)) + 1
+        starts = np.concatenate([[0], brk])
+        ends = np.concatenate([brk, [n]])
+
+        dev = chain_jax.sweep_hits_device(apos1, bpos1, starts, ends,
+                                          self.kmer)
+
+        # native sweep over the concatenation of oversized groups (group
+        # order preserved; the native library segments by (aread, bread))
+        big = [gi for gi in range(len(starts)) if gi not in dev]
+        big_res: dict[int, list] = {}
+        if big:
+            rows = np.concatenate([np.arange(starts[gi], ends[gi])
+                                   for gi in big])
+            big_res = self._native_sweep_rows(
+                aread[rows], bread[rows], apos1[rows], bpos1[rows], big)
+
+        for gi in range(len(starts)):
+            s, e = int(starts[gi]), int(ends[gi])
+            ar = int(aread[s])
+            br = int(bread[s])
+            if gi in dev:
+                ems = chain_jax.emit_group(dev[gi], apos1[s:e], bpos1[s:e],
+                                           e - s, self.kmer, self.hithr)
+            else:
+                ems = big_res.get(gi, [])
+            for (cost, ab, ae, bb, be, length, jumps) in ems:
+                if cost >= self.hithr:
+                    self._push_candidate(ar, cost, ab, ae, bb, be, length,
+                                         jumps, br + bstart, comp)
+
+    def _native_sweep_rows(self, aread, bread, apos1, bpos1, gis):
+        """Run the native sweep over selected rows; returns
+        {group_index: [(cost, ab, ae, bb, be, length, jumps), ...]}."""
+        from ..native import chain_lib
+
+        lib = chain_lib()
+        aread = np.ascontiguousarray(aread, np.int32)
+        bread = np.ascontiguousarray(bread, np.int32)
+        apos1 = np.ascontiguousarray(apos1, np.int32)
+        bpos1 = np.ascontiguousarray(bpos1, np.int32)
+        h = lib.chain_sweep(len(aread), aread.ctypes.data, bread.ctypes.data,
+                            apos1.ctypes.data, bpos1.ctypes.data, self.kmer)
+        out: dict[int, list] = {}
+        try:
+            nmeta = lib.result_meta_len(h)
+            if nmeta == 0:
+                return out
+            meta = np.ctypeslib.as_array(lib.result_meta(h),
+                                         shape=(nmeta,)).reshape(-1, 8)
+            njmp = lib.result_jumps_len(h)
+            jarr = np.ctypeslib.as_array(lib.result_jumps(h),
+                                         shape=(njmp,)) if njmp else \
+                np.zeros(0, np.int32)
+            # map (ar, br) -> group index (each (ar, br) is one group)
+            keymap = {}
+            gi_iter = iter(gis)
+            seen = set()
+            for i in range(len(aread)):
+                k = (int(aread[i]), int(bread[i]))
+                if k not in seen:
+                    seen.add(k)
+                    keymap[k] = next(gi_iter)
+            cur = 0
+            for row in meta:
+                ar, br, cost, ab, ae, bb, be, length = (int(x) for x in row)
+                jumps = [(int(jarr[cur + 2 * p]), int(jarr[cur + 2 * p + 1]))
+                         for p in range(length)]
+                cur += 2 * length
+                out.setdefault(keymap[(ar, br)], []).append(
+                    (cost, ab, ae, bb, be, length, jumps))
+        finally:
+            lib.result_free(h)
+        return out

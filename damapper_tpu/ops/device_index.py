@@ -85,22 +85,34 @@ class DeviceKmerIndex:
 
 
 @functools.partial(jax.jit, static_argnames=("kmer", "suppress"))
-def _build_index(seq, bad, read_of, boff_of, kmer: int, suppress: int):
+def _build_index(seq, boffs, mask_bad, kmer: int, suppress: int):
     """Jitted index build over a padded sequence array.
 
-    seq:     uint8[L] numeric bases with 4-sentinels (padding is sentinel)
-    bad:     uint8[L] 1 where the position cannot be inside a k-mer window
-             (sentinel or soft-masked)
-    read_of: int32[L] read id per position
-    boff_of: int32[L] read start offset per position
+    seq:      uint8[L] numeric bases with 4-sentinels (padding is sentinel)
+    boffs:    int32[R] read start offsets (R = padded read count; padding
+              entries repeat L-1)
+    mask_bad: uint8[L] extra bad positions (soft-mask intervals), or a
+              zero-length array when the DB has no mask tracks
+
+    The per-position read id / read start / validity maps are derived on
+    device (a scatter + cumsum), so the only O(L) host->device transfer is
+    the sequence itself.
     """
     L = seq.shape[0]
     n = L - kmer + 1
     s = seq.astype(jnp.uint32)
 
+    # per-position read id and read start offset from the read starts
+    marks = jnp.zeros(L, jnp.int32).at[boffs].add(1)
+    read_of = jnp.cumsum(marks) - 1
+    starts = jnp.zeros(L, jnp.int32).at[boffs].max(boffs)
+    boff_of = jax.lax.cummax(starts)
+
     # validity: zero bad positions in the window (prefix-sum differencing)
-    cum = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                           jnp.cumsum(bad.astype(jnp.int32))])
+    bad = (seq >= 4).astype(jnp.int32)
+    if mask_bad.shape[0]:
+        bad = bad | mask_bad.astype(jnp.int32)
+    cum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(bad)])
     valid = (cum[kmer:kmer + n] - cum[:n]) == 0
 
     # rolling codes, split into two 32-bit planes
@@ -135,14 +147,12 @@ def _build_index(seq, bad, read_of, boff_of, kmer: int, suppress: int):
     if suppress:
         # drop k-mers with multiplicity >= suppress (strict <, map.c:604):
         # re-key culled entries to the sentinel and re-sort (stable), the
-        # device analog of the compress pass (map.c:613-636)
-        new = (hi != jnp.concatenate([hi[:1] ^ sent, hi[:-1]])) | \
-              (lo != jnp.concatenate([lo[:1] ^ sent, lo[:-1]]))
-        seg = jnp.cumsum(new.astype(jnp.int32)) - 1
-        ones = jnp.ones(n, jnp.int32)
-        counts = jax.ops.segment_sum(ones, seg, num_segments=n)
+        # device analog of the compress pass (map.c:613-636).  Group sizes
+        # come from self-searchsorted (no scatter: TPU scatters serialize)
+        gl, gr = _self_ranges(hi, lo)
+        counts = gr - gl
         live = jnp.arange(n, dtype=jnp.int32) < nvalid
-        keep = (counts[seg] < suppress) & live
+        keep = (counts < suppress) & live
         hi = jnp.where(keep, hi, sent)
         lo = jnp.where(keep, lo, sent)
         read = jnp.where(keep, read, 0)
@@ -165,64 +175,90 @@ def _build_index(seq, bad, read_of, boff_of, kmer: int, suppress: int):
     return hi, lo, read, rpos, nvalid
 
 
-def _position_maps(db):
-    """Host-side per-position read id / read start arrays for a loaded DB."""
-    L = len(db.seq)
-    boffs = db.reads["boff"].astype(np.int64)
-    rlens = db.reads["rlen"].astype(np.int64)
-    read_of = np.zeros(L, np.int32)
-    boff_of = np.zeros(L, np.int32)
-    # mark read starts; positions before the first read / between reads are
-    # sentinels, whose windows are invalid anyway
-    marks = np.zeros(L, np.int32)
-    marks[boffs] = 1
-    read_of = np.cumsum(marks, dtype=np.int32) - 1
-    starts = np.zeros(L, np.int32)
-    starts[boffs] = np.concatenate([[boffs[0]],
-                                    np.diff(boffs)]).astype(np.int32)
-    boff_of = np.cumsum(starts, dtype=np.int32)
-    return read_of, boff_of
-
-
-def _bad_positions(db) -> np.ndarray:
-    """uint8[L]: 1 at sentinel or soft-masked positions."""
-    bad = (db.seq >= 4).astype(np.uint8)
-    if db.tracks:
-        anno, data, _ = next(iter(db.tracks.values()))
-        boffs = db.reads["boff"]
-        for i in range(db.nreads):
-            seg = data[int(anno[i]):int(anno[i + 1])]
-            b = int(boffs[i])
-            for j in range(0, len(seg), 2):
-                bad[b + int(seg[j]):b + int(seg[j + 1])] = 1
+def _mask_bad(db, cap: int) -> np.ndarray:
+    """uint8[cap]: 1 at soft-masked positions (only when tracks exist)."""
+    bad = np.zeros(cap, np.uint8)
+    anno, data, _ = next(iter(db.tracks.values()))
+    boffs = db.reads["boff"]
+    for i in range(db.nreads):
+        seg = data[int(anno[i]):int(anno[i + 1])]
+        b = int(boffs[i])
+        for j in range(0, len(seg), 2):
+            bad[b + int(seg[j]):b + int(seg[j + 1])] = 1
     return bad
 
 
 def device_sort_kmers(db, kmer: int, suppress: int = 0) -> DeviceKmerIndex:
     """Build the sorted, culled k-mer index of a loaded block on device
-    (Sort_Kmers map.c:655 equivalent; bit-exact with kmers.sort_kmers)."""
+    (Sort_Kmers map.c:655 equivalent; bit-exact with kmers.sort_kmers).
+    The only O(L) upload is the sequence; position/validity maps derive
+    on device."""
     assert db.seq is not None, "db.load_bases() first"
     assert kmer <= 32
     L = len(db.seq)
     cap = _bucket(L)
     seq = np.full(cap, 4, np.uint8)
     seq[:L] = db.seq
-    bad = np.ones(cap, np.uint8)
-    bad[:L] = _bad_positions(db)
-    read_of = np.zeros(cap, np.int32)
-    boff_of = np.zeros(cap, np.int32)
-    ro, bo = _position_maps(db)
-    read_of[:L], boff_of[:L] = ro, bo
+    # read-count padded to a small bucket (repeat a trailing-sentinel
+    # position) so compile variants stay bounded
+    rcap = _bucket(db.nreads, lo=1 << 8)
+    boffs = np.full(rcap, cap - 1, np.int32)
+    boffs[:db.nreads] = db.reads["boff"]
+    mb = _mask_bad(db, cap) if db.tracks else np.zeros(0, np.uint8)
 
     hi, lo, read, rpos, nvalid = _build_index(
-        jnp.asarray(seq), jnp.asarray(bad), jnp.asarray(read_of),
-        jnp.asarray(boff_of), kmer, suppress)
+        jnp.asarray(seq), jnp.asarray(boffs), jnp.asarray(mb), kmer,
+        suppress)
     return DeviceKmerIndex(hi, lo, read, rpos, int(nvalid))
 
 
 # ---------------------------------------------------------------------------
 # seed matching
 # ---------------------------------------------------------------------------
+
+
+def _self_ranges(hi, lo):
+    """(gl, gr) group spans of every entry of a SORTED 2-plane key array —
+    pure scans (cummax/cummin), no gathers or searches."""
+    n = hi.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones(1, bool),
+                             (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])])
+    gl = lax.cummax(jnp.where(first, idx, 0))
+    fpos = jnp.where(first, idx, jnp.int32(n))
+    rmin = lax.cummin(fpos[::-1])[::-1]          # min first-index >= i
+    gr = jnp.concatenate([rmin[1:], jnp.full(1, n, jnp.int32)])
+    return gl, gr
+
+
+def _join_ranges(bhi, blo, bn, qhi, qlo):
+    """(b_lo, b_hi) spans of each query key in a sorted 2-plane b array via
+    a sort-merge join: count of b-keys < q (and < q+1) from one combined
+    stable sort — O((m+2q) log) sort throughput instead of per-query
+    binary-search gather latency (the TPU analog of merge_thread's linear
+    merge, reference map.c:939-1002)."""
+    m = bhi.shape[0]
+    nq = qhi.shape[0]
+    one = jnp.uint32(1)
+    q1lo = qlo + one
+    q1hi = qhi + (q1lo == 0).astype(jnp.uint32)
+    wrapped = (q1hi == 0) & (q1lo == 0)     # q was the all-ones key
+
+    chi = jnp.concatenate([qhi, q1hi, bhi])
+    clo = jnp.concatenate([qlo, q1lo, blo])
+    # queries sort BEFORE equal b entries so their slot counts b-keys < q
+    tag = jnp.concatenate([jnp.zeros(2 * nq, jnp.uint32),
+                           jnp.ones(m, jnp.uint32)])
+    qid = jnp.concatenate([jnp.arange(2 * nq, dtype=jnp.int32),
+                           jnp.full(m, 2 * nq, jnp.int32)])
+    chi, clo, tag, qid = lax.sort((chi, clo, tag, qid), num_keys=3)
+    nb_before = jnp.cumsum(tag.astype(jnp.int32)) - tag.astype(jnp.int32)
+    # bring query slots back into qid order (sort, not scatter)
+    isq = (qid < 2 * nq).astype(jnp.uint32)
+    _, _, res = lax.sort((one - isq, qid, nb_before), num_keys=2)
+    b_lo = jnp.minimum(res[:nq], bn)
+    b_hi = jnp.minimum(jnp.where(wrapped, bn, res[nq:2 * nq]), bn)
+    return b_lo, b_hi
 
 
 def _searchsorted2(khi, klo, qhi, qlo, side: str):
@@ -253,33 +289,27 @@ def _match_count(ahi, alo, aread, arpos, bhi, blo, an, bn, use_gram: bool):
     idx = jnp.arange(n, dtype=jnp.int32)
     live = idx < an
 
-    b_lo = _searchsorted2(bhi, blo, ahi, alo, "left")
-    b_hi = _searchsorted2(bhi, blo, ahi, alo, "right")
-    # clamp to the live b region: sentinel-keyed padding must never match
-    # (a real T^32 code at k=32 equals the sentinel key)
-    b_lo = jnp.minimum(b_lo, bn)
-    b_hi = jnp.minimum(b_hi, bn)
+    b_lo, b_hi = _join_ranges(bhi, blo, bn, ahi, alo)
     cb = jnp.where(live, b_hi - b_lo, 0).astype(jnp.int32)
 
-    # group structure over the a index (equal composite keys)
-    prev_ne = (ahi != jnp.concatenate([~ahi[:1], ahi[:-1]])) | \
-              (alo != jnp.concatenate([~alo[:1], alo[:-1]]))
-    seg = jnp.cumsum(prev_ne.astype(jnp.int32)) - 1
-    ca = jax.ops.segment_sum(jnp.where(live, 1, 0).astype(jnp.int32),
-                             seg, num_segments=n)
+    # group structure over the a index (equal composite keys): spans from
+    # boundary scans — no gathers, no scatters
+    gl, gr = _self_ranges(ahi, alo)
+    first = gl == idx
+    ca = gr - gl
     # ca*cb can overflow int32; a float32 product is exact below 2^24 and
     # only ever compared against thresholds <= MAXGRAM, so large values just
     # need to stay large
-    ctf = ca[seg].astype(jnp.float32) * cb.astype(jnp.float32)
+    ctf = ca.astype(jnp.float32) * cb.astype(jnp.float32)
     ct = jnp.minimum(ctf, jnp.float32(0x7FFFFF00)).astype(jnp.int32)
-    # hitgram over groups (first entry of each group only)
+    # hitgram over groups (first entry of each group only): sort + edge
+    # searchsorted instead of a binned scatter-add
     if use_gram:
-        first = prev_ne & live & (cb > 0)
-        ctc = jnp.clip(ct, 0, MAXGRAM - 1)
-        gram = jax.ops.segment_sum(
-            jnp.where(first & (ct < MAXGRAM), 1, 0).astype(jnp.int32),
-            jnp.where(first, ctc, 0), num_segments=MAXGRAM)
-        gram = gram.at[0].set(0)
+        sel = first & live & (cb > 0) & (ct < MAXGRAM) & (ct > 0)
+        sv = lax.sort(jnp.where(sel, ct, jnp.int32(0x7FFFFFFF)))
+        edges = jnp.arange(MAXGRAM + 1, dtype=jnp.int32)
+        pos = jnp.searchsorted(sv, edges, side="left").astype(jnp.int32)
+        gram = pos[1:] - pos[:-1]
     else:
         gram = jnp.zeros(MAXGRAM, jnp.int32)
     return b_lo, cb, ct, gram
@@ -477,25 +507,23 @@ def device_match_seeds_sharded(aidx: DeviceKmerIndex, bidx: DeviceKmerIndex,
                        jnp.asarray(bn_l))
 
     # group-level totals + -M histogram on the (replicated) global counts:
-    # identical math to _match_count's epilogue
+    # identical math to _match_count's epilogue (no-scatter formulation)
     n = aidx.hi.shape[0]
-    live = jnp.arange(n, dtype=jnp.int32) < aidx.n
+    idx = jnp.arange(n, dtype=jnp.int32)
+    live = idx < aidx.n
     cb_g = jnp.where(live, cb_g, 0)
-    prev_ne = (aidx.hi != jnp.concatenate([~aidx.hi[:1], aidx.hi[:-1]])) | \
-              (aidx.lo != jnp.concatenate([~aidx.lo[:1], aidx.lo[:-1]]))
-    seg = jnp.cumsum(prev_ne.astype(jnp.int32)) - 1
-    ca = jax.ops.segment_sum(jnp.where(live, 1, 0).astype(jnp.int32),
-                             seg, num_segments=n)
-    ctf = ca[seg].astype(jnp.float32) * cb_g.astype(jnp.float32)
+    gl, gr = _self_ranges(aidx.hi, aidx.lo)
+    first = gl == idx
+    ca = gr - gl
+    ctf = ca.astype(jnp.float32) * cb_g.astype(jnp.float32)
     ct = jnp.minimum(ctf, jnp.float32(0x7FFFFF00)).astype(jnp.int32)
 
     if mem_limit > 0:
-        first = prev_ne & live & (cb_g > 0)
-        ctc = jnp.clip(ct, 0, MAXGRAM - 1)
-        gram = jax.ops.segment_sum(
-            jnp.where(first & (ct < MAXGRAM), 1, 0).astype(jnp.int32),
-            jnp.where(first, ctc, 0), num_segments=MAXGRAM)
-        gram = np.asarray(gram.at[0].set(0))
+        selg = first & live & (cb_g > 0) & (ct < MAXGRAM) & (ct > 0)
+        sv = lax.sort(jnp.where(selg, ct, jnp.int32(0x7FFFFFFF)))
+        edges = jnp.arange(MAXGRAM + 1, dtype=jnp.int32)
+        pos = jnp.searchsorted(sv, edges, side="left").astype(jnp.int32)
+        gram = np.asarray(pos[1:] - pos[:-1])
         limit = match_limit(gram, mem_limit, db_bytes, aidx.n, bidx.n)
     else:
         limit = np.iinfo(np.int32).max

@@ -97,7 +97,8 @@ class DamapperConfig:
     def __init__(self, kmer=20, suppress=0, mem_limit=None, ave_error=.85,
                  spacing=100, best_tie=1.0, masks=(), verbose=False,
                  profile=False, do_a=True, do_b=False, map_order=True,
-                 wave_backend=None, mesh="auto", index_backend=None):
+                 wave_backend=None, mesh="auto", index_backend=None,
+                 chain_backend=None):
         self.kmer = kmer
         self.suppress = suppress
         self.mem_limit = _physical_memory() if mem_limit is None else mem_limit
@@ -116,6 +117,13 @@ class DamapperConfig:
         if index_backend is None:
             index_backend = os.environ.get("DAMAPPER_INDEX") or _auto_index()
         self.index_backend = index_backend
+        if chain_backend is None:
+            # host by default everywhere: the native sweep is ~linear in
+            # hits and measured orders of magnitude faster than the batched
+            # XLA sweep at real hit densities (12Mb/200rd: 0.01s vs 1.5s);
+            # the device sweep exists for scale-out and is parity-tested
+            chain_backend = os.environ.get("DAMAPPER_CHAIN", "host")
+        self.chain_backend = chain_backend
         self.mesh = mesh
 
 
@@ -156,7 +164,12 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
     sharded_ix = (use_device_index and mesh is not None
                   and "ref" in getattr(mesh, "axis_names", ())
                   and "dp" in getattr(mesh, "axis_names", ()))
+    import time as _time
+    times = {"load": 0., "index": 0., "match": 0., "chain": 0., "align": 0.}
+    _t = _time.time()
     reads_db = read_block(reads_path, cfg.masks, cfg.kmer)
+    times["load"] += _time.time() - _t
+    _t = _time.time()
     if use_device_index:
         from ..ops.device_index import (device_match_seeds,
                                         device_match_seeds_sharded,
@@ -166,6 +179,7 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
             bindex = shard_index(bindex, mesh, "dp")
     else:
         bindex = sort_kmers(reads_db, cfg.kmer, cfg.suppress)
+    times["index"] += _time.time() - _t
     if cfg.verbose:
         # stage counters mirroring the reference -v (map.c:692-697,792-799)
         print(f"\n   Kmer count = {len(bindex):,}\n"
@@ -181,7 +195,9 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
     for k in range(1, nblocks + 1):
         blk_path = os.path.join(pwd, f"{aroot_stub}.{k}"
                                 + (".dam" if isdam else ".db"))
+        _t = _time.time()
         ref_blk = read_block(blk_path, cfg.masks, cfg.kmer)
+        times["load"] += _time.time() - _t
         bstart = ref_blk.tfirst
 
         # sub-partition large blocks so each index sort stays cache-resident
@@ -195,10 +211,14 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
             if comp:
                 ref_blk.complement_inplace()
             db_bytes = reads_db.sizeof() + ref_blk.sizeof()
+            _t = _time.time()
             if use_device_index:
                 aindex = device_sort_kmers(ref_blk, cfg.kmer, cfg.suppress)
                 if sharded_ix:
                     aindex = shard_index(aindex, mesh, "ref")
+                times["index"] += _time.time() - _t
+                _t = _time.time()
+                if sharded_ix:
                     hits = device_match_seeds_sharded(
                         bindex, aindex, mesh, cfg.mem_limit, db_bytes)
                 else:
@@ -208,19 +228,27 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
                 subs = sort_kmers_partitioned(ref_blk, cfg.kmer, sub_bases,
                                               kscratch)
                 aindex = None
+                times["index"] += _time.time() - _t
+                _t = _time.time()
                 hits = match_seeds_multi(bindex, subs, cfg.mem_limit,
                                          db_bytes)
             else:
                 aindex = sort_kmers(ref_blk, cfg.kmer, cfg.suppress,
                                     scratch=kscratch)
+                times["index"] += _time.time() - _t
+                _t = _time.time()
                 hits = match_seeds(bindex, aindex, cfg.mem_limit, db_bytes)
+            times["match"] += _time.time() - _t
             if cfg.verbose:
                 nidx = (sum(len(i) for i, _ in subs) if aindex is None
                         else len(aindex))
                 print(f"   Block {k} comp={comp}: index = {nidx:,} "
                       f"kmers, hit count = {len(hits):,}", file=sys.stderr)
             before = sum(len(c) for c in state.cands)
-            state.process_hits(hits, bstart, comp)
+            _t = _time.time()
+            state.process_hits(hits, bstart, comp,
+                               device=cfg.chain_backend == "device")
+            times["chain"] += _time.time() - _t
             if cfg.verbose:
                 # candidate counters (map.c:3184-3208 epilogue)
                 tfilt = sum(len(c) for c in state.cands)
@@ -254,10 +282,14 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
     rep = Reporter(spec, cfg.kmer, cfg.spacing, cfg.best_tie,
                    do_a=cfg.do_a, do_b=cfg.do_b, engine=engine)
     profile_out = [] if cfg.profile else None
+    _t = _time.time()
     a_recs, b_recs = rep.run(reads_db, ref_full, state,
                              astart=reads_db.tfirst, profile_out=profile_out)
+    times["align"] = _time.time() - _t
     if cfg.verbose:
         print(f"      {len(a_recs):,} mapped segments", file=sys.stderr)
+        print("      stage seconds: " + "  ".join(
+            f"{k}={v:.2f}" for k, v in times.items()), file=sys.stderr)
         if engine is not None:
             # wave-engine telemetry: a silent drift to the host-oracle
             # fallback would destroy TPU perf while keeping output identical

@@ -57,3 +57,42 @@ def test_native_multi_pass_accumulation(tmp_path):
         s1.process_hits(h, bstart=0, comp=comp, native=False)
         s2.process_hits(h, bstart=0, comp=comp, native=True)
     assert dump(s1) == dump(s2)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_device_matches_python(seed):
+    """The batched XLA sweep (ops.chain_jax) must produce identical
+    candidates to the sequential host sweep."""
+    rng = np.random.default_rng(700 + seed)
+    hits = random_hits(rng, 3000)
+    s1 = ChainState(3, kmer=20)
+    s1.process_hits(hits, bstart=5, comp=1, native=False)
+    s2 = ChainState(3, kmer=20)
+    s2.process_hits(hits, bstart=5, comp=1, device=True)
+    assert dump(s1) == dump(s2)
+
+
+def test_device_oversized_group_fallback(monkeypatch):
+    """Groups above the device capacity route to the native sweep; the mix
+    must still match the pure host result (order included)."""
+    from damapper_tpu.ops import chain_jax
+    monkeypatch.setattr(chain_jax, "_MAXC", 256)
+    rng = np.random.default_rng(4321)
+    hits = random_hits(rng, 5000, nreads=2, nctg=2)
+    s1 = ChainState(2, kmer=14)
+    s1.process_hits(hits, bstart=0, comp=0, native=False)
+    s2 = ChainState(2, kmer=14)
+    s2.process_hits(hits, bstart=0, comp=0, device=True)
+    assert dump(s1) == dump(s2)
+
+
+def test_device_multi_pass_accumulation():
+    rng = np.random.default_rng(777)
+    h1 = random_hits(rng, 2500)
+    h2 = random_hits(rng, 2500)
+    s1 = ChainState(3, kmer=14)
+    s2 = ChainState(3, kmer=14)
+    for h, comp in ((h1, 0), (h2, 1)):
+        s1.process_hits(h, bstart=0, comp=comp, native=False)
+        s2.process_hits(h, bstart=0, comp=comp, device=True)
+    assert dump(s1) == dump(s2)

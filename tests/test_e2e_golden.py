@@ -181,6 +181,20 @@ def test_e2e_device_index_backend(tmp_path):
     assert not d, d
 
 
+def test_e2e_device_chain_backend(tmp_path):
+    """The batched XLA chain DP (ops.chain_jax, default on TPU) must
+    reproduce the reference .las end to end."""
+    (tmp_path / "ours").mkdir()
+    make_dataset(tmp_path, seed=37, glen=60_000, ncontigs=2, nreads=10,
+                 bsize=40_000)
+    grecs, orecs = run_both(tmp_path, ["-k20", "-T4"],
+                            DamapperConfig(index_backend="device",
+                                           chain_backend="device"))
+    assert len(grecs) > 0
+    d = diff_las(grecs, orecs)
+    assert not d, d
+
+
 def write_mask_track(dbfile, track, ivals_for):
     """Write a reference-format soft-mask track (.root.track.anno/.data):
     anno header [tracklen, size=0] (size==0 marks MASK_TRACK, Check_Track
