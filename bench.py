@@ -1,14 +1,22 @@
 """Benchmark: reads mapped/sec vs the reference damapper binary.
 
-Runs both mappers on the same simulated PacBio dataset (BASELINE.md config 1
-scaled by env knobs) and prints ONE JSON line:
+Runs both mappers on the same simulated PacBio dataset (a BASELINE.md
+mid-ladder config by default: 50 Mb genome / 500 reads, scalable by env
+knobs) and prints ONE JSON line:
 
   {"metric": ..., "value": reads/s (ours), "unit": "reads/s",
-   "vs_baseline": ours/reference}
+   "vs_baseline": ours/reference, "las_identical_to_reference": bool,
+   "cell_updates_per_sec": batched wave-DP cells/s,
+   "variants": {"n95_C": {...}, "profile": {...}}}
 
-Env knobs: BENCH_GLEN (genome bp, default 1_000_000), BENCH_NREADS (default
-200), BENCH_SEED, BENCH_BSIZE (ref block size; <genome forces multi-block).  The correctness gate (.las record equality vs the
-reference) is asserted before timing is reported.
+The correctness gate (.las record equality vs the reference, plus byte
+equality of the -p profile track in that variant) is asserted before
+timing is reported.
+
+Env knobs: BENCH_GLEN (genome bp, default 50_000_000), BENCH_NREADS
+(default 500), BENCH_SEED, BENCH_BSIZE (ref block size; <genome forces the
+multi-block path), BENCH_REPEATS (best-of, default 2), BENCH_VARIANTS=0 to
+skip the -n.95 -C and -p timed variants.
 """
 
 import json
@@ -26,7 +34,6 @@ sys.path.insert(0, str(REPO / "tests"))
 # (verified working on the axon TPU plugin: a 200s kernel compile reloads
 # in ~3s from the cache)
 CACHE = REPO / "tests" / "data" / "xla_cache"
-sys.path.insert(0, str(REPO))
 from damapper_tpu.utils.cache import enable_compile_cache  # noqa: E402
 
 enable_compile_cache(str(CACHE))
@@ -34,17 +41,14 @@ import jax  # noqa: E402
 
 import numpy as np  # noqa: E402
 
-GLEN = int(os.environ.get("BENCH_GLEN", 1_000_000))
-NREADS = int(os.environ.get("BENCH_NREADS", 200))
+GLEN = int(os.environ.get("BENCH_GLEN", 50_000_000))
+NREADS = int(os.environ.get("BENCH_NREADS", 500))
 SEED = int(os.environ.get("BENCH_SEED", 42))
 BSIZE = int(os.environ.get("BENCH_BSIZE", 260_000_000))
-# the axon TPU tunnel's execution time is very jittery (3x swings between
+# the axon TPU tunnel's execution time is jittery (3x swings between
 # identical runs); report the best of BENCH_REPEATS attempts
-REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
-
-# measured reference throughput (reads/s) to use if the reference binary
-# cannot be built on the bench host (dev-host measurement, -T4, same config)
-REF_RPS_FALLBACK = None
+REPEATS = int(os.environ.get("BENCH_REPEATS", 2))
+VARIANTS = os.environ.get("BENCH_VARIANTS", "1") != "0"
 
 
 def build_dataset(work: pathlib.Path):
@@ -74,42 +78,52 @@ def build_dataset(work: pathlib.Path):
     marker.write_text("ok")
 
 
-def time_reference(work: pathlib.Path):
+def time_reference(work: pathlib.Path, opts, repeats=None):
     from tests import helpers
     try:
         helpers.build_reference()
     except Exception:
         return None, None
-    # one warm run is unnecessary for the C binary; time a single pass
     best = None
-    for _ in range(max(1, REPEATS)):
+    las = None
+    for _ in range(max(1, repeats if repeats is not None else REPEATS)):
         t0 = time.time()
         las = helpers.run_reference_damapper(work, "ref.dam", "reads.db",
-                                             ["-k20", "-T4"])
+                                             opts)
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     return best, las
 
 
-def time_ours(work: pathlib.Path):
-    from damapper_tpu.pipeline.mapper import DamapperConfig, run_damapper
-    cfg = DamapperConfig()   # auto: pallas engine on TPU
-    out = work / "ours"
+def time_ours(work: pathlib.Path, cfg_kw=None, repeats=None, subdir="ours"):
+    from damapper_tpu.pipeline import mapper as mp
+    cfg = mp.DamapperConfig(**(cfg_kw or {}))   # auto backends on TPU
+    out = work / subdir
     out.mkdir(exist_ok=True)
     best = None
-    for _ in range(max(1, REPEATS)):
+    stats = {}
+    a_path = None
+    for _ in range(max(1, repeats if repeats is not None else REPEATS)):
         t0 = time.time()
-        a_path, _ = run_damapper(str(work / "ref.dam"),
-                                 str(work / "reads.db"), cfg,
-                                 out_dir=str(out))
+        a_path, _ = mp.run_damapper(str(work / "ref.dam"),
+                                    str(work / "reads.db"), cfg,
+                                    out_dir=str(out))
         dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    return best, pathlib.Path(a_path)
+        if best is None or dt < best:
+            best = dt
+            stats = dict(mp.LAST_STATS)
+    return best, pathlib.Path(a_path), stats
+
+
+def las_identical(ref_las, our_las) -> bool:
+    from damapper_tpu.io import las as lasio
+    g, _ = lasio.read_las(str(ref_las))
+    o, _ = lasio.read_las(str(our_las))
+    return lasio.las_equal(g, o)
 
 
 def main():
-    # per-config dataset dir: configs must not share files (a marker for one
-    # config does not mean the files on disk belong to it)
+    # per-config dataset dir: configs must not share files
     work = REPO / "tests" / "data" / "bench" / (
         f"ds_{SEED}_{GLEN}_{NREADS}"
         + (f"_b{BSIZE}" if BSIZE != 260_000_000 else ""))
@@ -122,21 +136,43 @@ def main():
     }
     try:
         build_dataset(work)
-        ref_dt, ref_las = time_reference(work)
-        our_dt, our_las = time_ours(work)
+        ref_dt, ref_las = time_reference(work, ["-k20", "-T4"])
+        our_dt, our_las, stats = time_ours(work)
         result["value"] = round(NREADS / our_dt, 3)
+        if stats.get("cell_updates"):
+            t = max(1e-9, stats["times"].get("align", our_dt))
+            result["cell_updates_per_sec"] = round(
+                stats["cell_updates"] / t, 0)
+            result["wave_lanes"] = stats.get("n_lanes", 0)
         if ref_dt is not None:
-            from damapper_tpu.io import las as lasio
-            g, _ = lasio.read_las(str(ref_las))
-            o, _ = lasio.read_las(str(our_las))
-            identical = lasio.las_equal(g, o)
-            result["las_identical_to_reference"] = identical
-            result["vs_baseline"] = round((NREADS / our_dt) /
-                                          (NREADS / ref_dt), 4)
+            result["las_identical_to_reference"] = las_identical(ref_las,
+                                                                 our_las)
+            result["vs_baseline"] = round(ref_dt / our_dt, 4)
             result["reference_reads_per_sec"] = round(NREADS / ref_dt, 3)
-        elif REF_RPS_FALLBACK:
-            result["vs_baseline"] = round((NREADS / our_dt) /
-                                          REF_RPS_FALLBACK, 4)
+
+        if VARIANTS and ref_dt is not None:
+            variants = {}
+            # near-optimal chains + dual output (BASELINE config 2 options)
+            rd, rl = time_reference(work, ["-k20", "-T4", "-n.95", "-C"],
+                                    repeats=1)
+            od, ol, _ = time_ours(work, dict(best_tie=.95, do_b=True),
+                                  repeats=1, subdir="ours_nC")
+            variants["n95_C"] = {
+                "vs_baseline": round(rd / od, 4),
+                "las_identical": las_identical(rl, ol)}
+            # repeat-profile track (BASELINE config 3 options)
+            rd, rl = time_reference(work, ["-k20", "-T4", "-p"], repeats=1)
+            od, ol, _ = time_ours(work, dict(profile=True), repeats=1,
+                                  subdir="ours_p")
+            prof_ok = all(
+                (work / f".reads{ext}").read_bytes()
+                == (work / "ours_p" / f".reads{ext}").read_bytes()
+                for ext in (".prof.anno", ".prof.data"))
+            variants["profile"] = {
+                "vs_baseline": round(rd / od, 4),
+                "las_identical": las_identical(rl, ol),
+                "profile_track_identical": prof_ok}
+            result["variants"] = variants
     except Exception as e:  # always emit the JSON line
         result["error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))

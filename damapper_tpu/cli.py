@@ -194,6 +194,12 @@ def _main_fasta2db(argv: list[str]) -> int:
 
 def main(argv=None) -> int:
     try:
+        # honor JAX_PLATFORMS from the environment: a preset TPU platform
+        # plugin (axon) otherwise wins over the env var alone
+        plat = os.environ.get("JAX_PLATFORMS")
+        if plat:
+            import jax
+            jax.config.update("jax_platforms", plat.split(",")[0])
         from .utils.cache import enable_compile_cache
         enable_compile_cache()
     except Exception:

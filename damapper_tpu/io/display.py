@@ -257,11 +257,11 @@ def print_alignment(file, aln: Alignment, indent=4, width=100, border=10,
         if p < 0:
             p = -p
             while ii[0] != p:
+                column(a[ii[0]], b[jj[0]])
                 if a[ii[0]] == b[jj[0]]:
                     st["match"] += 1
                 else:
                     st["diff"] += 1
-                column(a[ii[0]], b[jj[0]])
                 ii[0] += 1
                 jj[0] += 1
             column(7, b[jj[0]])
@@ -269,11 +269,11 @@ def print_alignment(file, aln: Alignment, indent=4, width=100, border=10,
             st["diff"] += 1
         else:
             while jj[0] != p:
+                column(a[ii[0]], b[jj[0]])
                 if a[ii[0]] == b[jj[0]]:
                     st["match"] += 1
                 else:
                     st["diff"] += 1
-                column(a[ii[0]], b[jj[0]])
                 ii[0] += 1
                 jj[0] += 1
             column(a[ii[0]], 7)
@@ -281,11 +281,183 @@ def print_alignment(file, aln: Alignment, indent=4, width=100, border=10,
             st["diff"] += 1
     p = aln.path.aepos
     while ii[0] <= p:
+        column(a[ii[0]], b[jj[0]])
         if a[ii[0]] == b[jj[0]]:
             st["match"] += 1
         else:
             st["diff"] += 1
+        ii[0] += 1
+        jj[0] += 1
+
+    st["mtag"] = "]"
+    if a[ii[0]] != 4 and b[jj[0]] != 4 and border > 0:
+        column(6, 6)
+    st["mtag"] = st["dtag"] = ":"
+    c = 0
+    while c < border and (a[ii[0]] != 4 or b[jj[0]] != 4):
+        if a[ii[0]] != 4:
+            if b[jj[0]] != 4:
+                column(a[ii[0]], b[jj[0]])
+                ii[0] += 1
+                jj[0] += 1
+            else:
+                column(a[ii[0]], 4)
+                ii[0] += 1
+        else:
+            column(4, b[jj[0]])
+            jj[0] += 1
+        c += 1
+
+    flush(final=True)
+
+
+def print_reference(file, aln: Alignment, indent=4, block=100, border=10,
+                    upper=False, coord=0) -> None:
+    """Reference-frame ASCII alignment (Print_Reference align.c:3587-3855):
+    identical column layout to print_alignment, but rows break at A-sequence
+    coordinates that are multiples of `block` (i % block == 1) instead of at
+    a fixed column width, so every row starts at a round reference position.
+    The path's trace must be an exact indel script."""
+    trace = aln.path.trace
+    n2a = _TO_U if upper else _TO_L
+    aend, bend = aln.path.aepos, aln.path.bepos
+    comp = aln.flags & COMP_FLAG
+    blen = aln.blen
+
+    a = np.full(aln.alen + 2, 4, np.int16)
+    a[1:aln.alen + 1] = aln.aseq
+    b = np.full(aln.blen + 2, 4, np.int16)
+    b[1:aln.blen + 1] = aln.bseq
+
+    st = dict(o=0, sa=0, sb=0, match=0, diff=0, mtag=":", dtag=":")
+    Abuf, Bbuf, Dbuf = [], [], []
+
+    def flush(final=False):
+        o = st["o"]
+        file.write("\n")
+        file.write(" " * indent)
+        if coord > 0:
+            if st["sa"] < aend:
+                file.write(" %*d" % (coord, st["sa"]))
+            else:
+                file.write(" %*s" % (coord, ""))
+            file.write(" %s\n" % "".join(Abuf[:o]))
+            file.write("%*s %*s %s\n" % (indent, "", coord, "",
+                                         "".join(Dbuf[:o])))
+            file.write(" " * indent)
+            if st["sb"] < bend:
+                file.write(" %*d" % (coord, blen - st["sb"] if comp
+                                     else st["sb"]))
+            else:
+                file.write(" %*s" % (coord, ""))
+            file.write(" %s" % "".join(Bbuf[:o]))
+        else:
+            file.write(" %s\n" % "".join(Abuf[:o]))
+            file.write("%*s %s\n" % (indent, "", "".join(Dbuf[:o])))
+            file.write("%*s %s" % (indent, "", "".join(Bbuf[:o])))
+        md = st["diff"] + st["match"]
+        if not final:
+            file.write(" %5.1f%%\n" % ((100. * st["diff"]) / md))
+        elif md > 0:
+            file.write(" %5.1f%%\n" % ((100. * st["diff"]) / md))
+        else:
+            file.write("\n")
+
+    ii = [aln.path.abpos]
+    jj = [aln.path.bbpos]
+    s0 = [0]
+
+    def column(u, v):
+        # break BEFORE a real A base at a block boundary (BLOCK macro,
+        # align.c:3638-3667)
+        if (ii[0] % block == 1 and ii[0] != s0[0] and u < 4
+                and st["o"] > 0):
+            flush()
+            st["o"] = 0
+            st["sa"] = ii[0] - 1
+            st["sb"] = jj[0] - 1
+            st["match"] = st["diff"] = 0
+            del Abuf[:], Bbuf[:], Dbuf[:]
+        if u == 4 or v == 4:
+            Dbuf.append(" ")
+        elif u == v:
+            Dbuf.append(st["mtag"])
+        else:
+            Dbuf.append(st["dtag"])
+        Abuf.append(n2a[u])
+        Bbuf.append(n2a[v])
+        st["o"] += 1
+
+    prefa = 0
+    while prefa < border and a[ii[0]] != 4:
+        prefa += 1
+        ii[0] -= 1
+    ii[0] += 1
+    prefb = 0
+    while prefb < border and b[jj[0]] != 4:
+        prefb += 1
+        jj[0] -= 1
+    jj[0] += 1
+
+    s0[0] = ii[0]
+    st["sa"] = ii[0] - 1
+    st["sb"] = jj[0] - 1
+    st["mtag"] = st["dtag"] = ":"
+
+    while prefa > prefb:
+        column(a[ii[0]], 4)
+        ii[0] += 1
+        prefa -= 1
+    while prefb > prefa:
+        column(4, b[jj[0]])
+        jj[0] += 1
+        prefb -= 1
+    while prefa > 0:
         column(a[ii[0]], b[jj[0]])
+        ii[0] += 1
+        jj[0] += 1
+        prefa -= 1
+
+    st["mtag"] = "["
+    if prefb > 0:
+        column(5, 5)
+
+    st["mtag"], st["dtag"] = "|", "*"
+    st["match"] = st["diff"] = 0
+
+    for p in trace:
+        if p < 0:
+            p = -p
+            while ii[0] != p:
+                column(a[ii[0]], b[jj[0]])
+                if a[ii[0]] == b[jj[0]]:
+                    st["match"] += 1
+                else:
+                    st["diff"] += 1
+                ii[0] += 1
+                jj[0] += 1
+            column(7, b[jj[0]])
+            jj[0] += 1
+            st["diff"] += 1
+        else:
+            while jj[0] != p:
+                column(a[ii[0]], b[jj[0]])
+                if a[ii[0]] == b[jj[0]]:
+                    st["match"] += 1
+                else:
+                    st["diff"] += 1
+                ii[0] += 1
+                jj[0] += 1
+            column(a[ii[0]], 7)
+            ii[0] += 1
+            st["diff"] += 1
+    p = aln.path.aepos
+    while ii[0] <= p:
+        column(a[ii[0]], b[jj[0]])
+        if a[ii[0]] == b[jj[0]]:
+            st["match"] += 1
+        else:
+            st["diff"] += 1
         ii[0] += 1
         jj[0] += 1
 

@@ -760,6 +760,7 @@ class WaveEngine:
         self.n_fallback = 0
         self.n_total = 0
         self.n_hostmin = 0      # lanes routed to the host oracle (tiny rounds)
+        self.total_waves = 0    # summed per-lane wave counts (telemetry)
         # rounds smaller than this run on the host oracle: a padded device
         # bucket costs ~1s of fixed overhead, the oracle is bit-identical
         self.host_min = int(os.environ.get("DAMAPPER_WAVE_HOSTMIN", "16"))
@@ -828,6 +829,7 @@ class WaveEngine:
                            for f, v in out.items()})
         merged = {f: np.concatenate([c[f] for c in chunks])
                   for f in chunks[0]}
+        self.total_waves += int(merged["waves"].sum())
         return WaveResult(**merged)
 
     # ---- full Local_Alignment over a batch of seeds ----

@@ -318,7 +318,56 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
         dbio.write_track(os.path.join(out_dir, "." + broot), "prof",
                          anno, bytes(data), size=8)
 
+    # run telemetry for benchmarks (stage seconds + wave-DP work): the
+    # cell-updates metric is waves x band-capacity, the batched analog of
+    # the reference's WAVE_STATS counters (align.c:297-312)
+    global LAST_STATS
+    LAST_STATS = dict(times=dict(times),
+                      total_waves=getattr(engine, "total_waves", 0),
+                      band_cap=getattr(engine, "W", 0),
+                      cell_updates=(getattr(engine, "total_waves", 0)
+                                    * getattr(engine, "W", 0)),
+                      n_fallback=getattr(engine, "n_fallback", 0),
+                      n_lanes=getattr(engine, "n_total", 0))
     return a_path, b_path
+
+
+LAST_STATS: dict = {}
+
+
+def expand_db_block_arg(arg: str) -> list[str]:
+    """'@' block-range expansion of a DB/DAM argument (Parse_Block_DB_Arg
+    DB.c:2822-2923): 'root.@' covers every block, 'root.@f' blocks f..n,
+    'root.@f-l' the explicit range; a plain name passes through."""
+    import re
+
+    m = re.search(r"@(\d+)?(?:-(\d+))?$", arg)
+    if not m:
+        return [arg]
+    if arg.count("@") > 1:
+        raise ValueError(f"Two or more occurrences of @-sign in source "
+                         f"name '{arg}'")
+    base = arg[:m.start()].rstrip(".")
+    first = int(m.group(1)) if m.group(1) else 1
+    last = int(m.group(2)) if m.group(2) else None
+    if first < 1:
+        raise ValueError(f"Integer following @-sign is less than 1 in "
+                         f"source name '{arg}'")
+    if last is not None and last < first:
+        raise ValueError(f"2nd integer is less than 1st integer in source "
+                         f"name '{arg}'")
+    if last is None:
+        pwd, root, isdam = dbio._split_db_path(base)
+        stubp = os.path.join(pwd, root + (".dam" if isdam else ".db"))
+        if not os.path.exists(stubp):
+            other = os.path.join(pwd, root + (".db" if isdam else ".dam"))
+            if os.path.exists(other):
+                stubp = other
+            else:
+                raise FileNotFoundError(
+                    f"Cannot open database {root}[db|dam]")
+        last = max(1, dbio.read_stub(stubp).nblocks)
+    return [f"{base}.{k}" for k in range(first, last + 1)]
 
 
 def main_damapper(argv: list[str]) -> int:
@@ -392,6 +441,7 @@ def main_damapper(argv: list[str]) -> int:
               file=sys.stderr)
         return 1
 
-    for reads in args[1:]:
-        run_damapper(args[0], reads, cfg)
+    for arg in args[1:]:
+        for reads in expand_db_block_arg(arg):
+            run_damapper(args[0], reads, cfg)
     return 0

@@ -105,3 +105,44 @@ def test_flip_alignment_roundtrip(golden_small):
     got = (aln.path.abpos, aln.path.bbpos, aln.path.aepos, aln.path.bepos,
            list(aln.path.trace))
     assert got == orig
+
+
+def test_print_reference_block_breaks(golden_small):
+    """print_reference (Print_Reference align.c:3587): rows must break at
+    A coordinates == 1 (mod block), and row content must reconstruct the
+    aligned A segment."""
+    from damapper_tpu.io.display import print_reference
+
+    reads_db, ref_db, recs, tspace = golden_small
+    aln = _aln_from_rec(reads_db, ref_db, recs[0], tspace)
+    buf = io.StringIO()
+    block = 50
+    print_reference(buf, aln, indent=2, block=block, border=8, coord=7)
+    text = buf.getvalue()
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    assert len(lines) >= 3
+    # triples of (A, D, B%) rows
+    assert len(lines) % 3 == 0
+    a_rows = lines[0::3]
+    b_rows = lines[2::3]
+    for ln in b_rows:
+        assert ln.rstrip().endswith("%") or ln is b_rows[-1]
+    # A-coordinate labels of successive rows: each subsequent row starts at
+    # a multiple of `block` (sa is printed as i-1, so label % block == 0)
+    import re
+    labels = []
+    for ln in a_rows:
+        m = re.match(r"\s*(\d+)", ln)
+        if m:
+            labels.append(int(m.group(1)))
+    assert len(labels) >= 2
+    for lab in labels[1:]:
+        assert lab % block == 0, f"row label {lab} not on a {block} boundary"
+    # the concatenated A characters (minus dashes) reproduce the aligned
+    # A substring with its borders
+    a_chars = "".join(re.sub(r"^\s*\d*\s", "", ln) for ln in a_rows)
+    a_letters = [c for c in a_chars if c in "acgt"]
+    n2a = "acgt"
+    start = max(0, aln.path.abpos - 8)
+    expect = [n2a[v] for v in aln.aseq[start:aln.path.aepos]]
+    assert "".join(a_letters).startswith("".join(expect[:40]))

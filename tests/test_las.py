@@ -54,3 +54,44 @@ def test_check_las(tmp_path):
                    trace=np.array([4, 95, 7, 100, 1, 8], np.int32))
     lasio.write_las(p, [bad], 100)
     assert lasio.check_las(p) != []
+
+
+def test_extra_records_roundtrip(tmp_path):
+    """EXTRA metadata records (DB.c:2148-2322): write/read round-trip and
+    the EXACT/SUM reduction semantics across block files."""
+    import numpy as np
+    from damapper_tpu.io.tracks import (DB_EXACT, DB_SUM, DazzExtra,
+                                        read_all_extras, read_extra,
+                                        write_extra)
+
+    p = tmp_path / ".test.trk.anno"
+    payload = b"\x01\x02\x03\x04"       # stand-in anno body
+    e1 = DazzExtra("coverage", [40], accum=DB_SUM)
+    e2 = DazzExtra("params", [1.5, -2.25], accum=DB_EXACT)
+    with open(p, "wb") as fp:
+        fp.write(payload)
+        write_extra(fp, e1)
+        write_extra(fp, e2)
+    got = read_all_extras(str(p), len(payload))
+    assert got == [e1, e2]
+    assert got[1].vtype == 1            # DB_REAL inferred
+
+    # reduction: SUM accumulates, EXACT must agree
+    with open(p, "rb") as fp:
+        fp.seek(len(payload))
+        acc = read_extra(fp)
+        read_extra(fp)
+    with open(p, "rb") as fp:
+        fp.seek(len(payload))
+        acc = read_extra(fp, into=acc)
+    assert list(acc.value) == [80]
+
+    bad = DazzExtra("params", [9.0, 9.0], accum=DB_EXACT)
+    with open(p, "wb") as fp:
+        write_extra(fp, bad)
+    with open(p, "rb") as fp:
+        try:
+            read_extra(fp, into=e2)
+            assert False, "EXACT mismatch must raise"
+        except ValueError as ex:
+            assert "does not agree" in str(ex)

@@ -109,3 +109,31 @@ def test_plan_execution_end_to_end(tmp_path, monkeypatch):
                         out_dir=str(out))
     single, _ = lasio.read_las(a)
     assert lasio.las_equal(single, per_block)
+
+
+def test_db_block_arg_expansion(tmp_path):
+    """'@' DB block-range arguments (Parse_Block_DB_Arg DB.c:2822-2923)."""
+    import numpy as np
+    import pytest
+    from damapper_tpu.io import db as dbio, fasta
+    from damapper_tpu.pipeline.mapper import expand_db_block_arg
+    from tests import helpers
+
+    rng = np.random.default_rng(3)
+    reads = [helpers.sim_genome(rng, 3000) for _ in range(12)]
+    dbio.create_db(str(tmp_path / "rd.db"),
+                   [fasta.FastaEntry(f"r{i}", r) for i, r in enumerate(reads)],
+                   bsize=9_000)
+    nb = dbio.read_stub(str(tmp_path / "rd.db")).nblocks
+    assert nb >= 3
+    base = str(tmp_path / "rd")
+    assert expand_db_block_arg(base) == [base]
+    assert expand_db_block_arg(base + ".@") == \
+        [f"{base}.{k}" for k in range(1, nb + 1)]
+    assert expand_db_block_arg(base + ".@2") == \
+        [f"{base}.{k}" for k in range(2, nb + 1)]
+    assert expand_db_block_arg(base + ".@2-3") == [base + ".2", base + ".3"]
+    with pytest.raises(ValueError):
+        expand_db_block_arg(base + ".@3-2")
+    with pytest.raises(FileNotFoundError):
+        expand_db_block_arg(str(tmp_path / "nope") + ".@")
