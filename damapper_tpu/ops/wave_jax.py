@@ -813,17 +813,22 @@ class WaveEngine:
             B = -(-B // self._ndp) * self._ndp
         args = [np.asarray(x, np.int32)
                 for x in (abase, bbase, mida, k0, aoffp, boffp)]
+        # degenerate filler seed: a wave anchored on the leading sentinel
+        # (seq[0] == 4) terminates after one wave, so padded lanes stall
+        # their group immediately instead of redundantly recomputing lane 0
+        fill = dict(abase=0, bbase=0, mida=0, k0=0, aoffp=0, boffp=0)
+        names = ("abase", "bbase", "mida", "k0", "aoffp", "boffp")
         chunks = []
         for st in range(0, n, B):
             en = min(st + B, n)
-            def pad(x):
+            def pad(x, nm):
                 x = x[st:en]
                 if len(x) == B:
                     return jnp.asarray(x)
                 return jnp.asarray(np.concatenate(
-                    [x, np.repeat(x[:1], B - len(x))]))
-            out = fn(*[pad(x) for x in args], Aflat, Bflat,
-                     *self._consts)
+                    [x, np.full(B - len(x), fill[nm], np.int32)]))
+            out = fn(*[pad(x, nm) for x, nm in zip(args, names)],
+                     Aflat, Bflat, *self._consts)
             self.last_iters = int(out.pop("iters", 0))  # driver telemetry
             chunks.append({f: np.asarray(v)[:en - st]
                            for f, v in out.items()})
