@@ -92,6 +92,18 @@ def compress_bases(num: np.ndarray) -> bytes:
     return packed.tobytes()
 
 
+def _fread(fp, n: int, what: str) -> bytes:
+    """Guarded batch read (FFREAD discipline, reference DB.h:136-224):
+    short reads raise a corruption error instead of silently yielding
+    partial arrays."""
+    b = fp.read(n)
+    if len(b) != n:
+        raise IOError(f"{what}: The file is corrupted (short read: "
+                      f"wanted {n} bytes, got {len(b)})")
+    return b
+
+
+
 def uncompress_bases(buf: bytes | np.ndarray, length: int) -> np.ndarray:
     """Inverse of compress_bases (Uncompress_Read DB.c:342)."""
     b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
@@ -257,7 +269,8 @@ class DazzDB:
 
         idxp = os.path.join(pwd, "." + root + ".idx")
         with open(idxp, "rb") as fp:
-            hdr = np.frombuffer(fp.read(HEADER_DTYPE.itemsize), HEADER_DTYPE)[0]
+            hdr = np.frombuffer(_fread(fp, HEADER_DTYPE.itemsize, idxp),
+                                HEADER_DTYPE)[0]
             db = DazzDB(path=os.path.join(pwd, "." + root), isdam=isdam)
             db.ureads = int(hdr["ureads"])
             db.treads = int(hdr["treads"])
@@ -270,16 +283,16 @@ class DazzDB:
                 tfirst, tlast = stub.tblocks[part - 1], stub.tblocks[part]
                 fp.seek(HEADER_DTYPE.itemsize + READ_DTYPE.itemsize * ufirst)
                 db.reads = np.frombuffer(
-                    fp.read(READ_DTYPE.itemsize * (ulast - ufirst)), READ_DTYPE
-                ).copy()
+                    _fread(fp, READ_DTYPE.itemsize * (ulast - ufirst), idxp),
+                    READ_DTYPE).copy()
                 db.maxlen = int(db.reads["rlen"].max(initial=0))
                 db.totlen = int(db.reads["rlen"].sum())
             else:
                 ufirst = tfirst = 0
                 ulast, tlast = db.ureads, db.treads
                 db.reads = np.frombuffer(
-                    fp.read(READ_DTYPE.itemsize * db.ureads), READ_DTYPE
-                ).copy()
+                    _fread(fp, READ_DTYPE.itemsize * db.ureads, idxp),
+                    READ_DTYPE).copy()
                 db.maxlen = int(hdr["maxlen"])
                 db.totlen = int(hdr["totlen"])
         db.nreads = ulast - ufirst
@@ -403,8 +416,8 @@ def open_mask_track(db: DazzDB, track: str) -> bool:
     if not os.path.exists(annop):
         return False
     with open(annop, "rb") as fp:
-        tracklen = int(np.frombuffer(fp.read(4), "<i4")[0])
-        size = int(np.frombuffer(fp.read(4), "<i4")[0])
+        tracklen = int(np.frombuffer(_fread(fp, 4, annop), "<i4")[0])
+        size = int(np.frombuffer(_fread(fp, 4, annop), "<i4")[0])
         if size not in (0, 8):
             raise ValueError(f"track {track}: not a mask track (size={size})")
         ispart = ".%d.%s" % (db.part, track) in annop if db.part else False
@@ -415,10 +428,12 @@ def open_mask_track(db: DazzDB, track: str) -> bool:
         nreads = treads if tracklen == treads else ureads
         if not ispart and db.part > 0:
             fp.seek(8 * (db.tfirst if tracklen == treads else db.ufirst), 1)
-        anno = np.frombuffer(fp.read(8 * (nreads + 1)), "<i8").astype(np.int64)
+        anno = np.frombuffer(_fread(fp, 8 * (nreads + 1), annop),
+                             "<i8").astype(np.int64)
     with open(datap, "rb") as fp:
         fp.seek(int(anno[0]))
-        data = np.frombuffer(fp.read(int(anno[-1] - anno[0])), "<i4").astype(np.int32)
+        data = np.frombuffer(_fread(fp, int(anno[-1] - anno[0]), datap),
+                             "<i4").astype(np.int32)
     anno = (anno - anno[0]) // 4  # to int units (read_DB damapper.c:385-388)
     alen = np.diff(anno).astype(np.int32)
     db.tracks[track] = (anno, data, alen)

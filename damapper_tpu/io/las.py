@@ -64,14 +64,24 @@ def tbytes_for(tspace: int) -> int:
 def read_las(path: str) -> tuple[list[LA], int]:
     with open(path, "rb") as fp:
         buf = fp.read()
+    # guarded reads (FFREAD discipline, DB.h:136-224): a truncated file
+    # must fail fast with a corruption message, not yield partial records
+    if len(buf) < 12:
+        raise IOError(f"{path}: The file is corrupted (truncated header)")
     novl, tspace = struct.unpack_from("<qi", buf, 0)
     tb = tbytes_for(tspace)
     las: list[LA] = []
     off = 12
     for _ in range(novl):
+        if off + 40 > len(buf):
+            raise IOError(f"{path}: The file is corrupted "
+                          f"(truncated at record {len(las)})")
         tlen, diffs, abpos, bbpos, aepos, bepos, flags, aread, bread = \
             _REC.unpack_from(buf, off)
         off += 40
+        if tlen < 0 or off + tb * tlen > len(buf):
+            raise IOError(f"{path}: The file is corrupted "
+                          f"(truncated trace at record {len(las)})")
         if tb == 1:
             trace = np.frombuffer(buf, np.uint8, tlen, off).astype(np.int32)
         else:

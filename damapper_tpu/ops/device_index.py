@@ -315,6 +315,28 @@ def _match_count(ahi, alo, aread, arpos, bhi, blo, an, bn, use_gram: bool):
     return b_lo, cb, ct, gram
 
 
+def _avail_budget(mem_limit: int, db_bytes: int, alen: int,
+                  blen: int) -> int:
+    """The -M memory budget in 16-byte hit units (map.c:2992-3012)."""
+    avail = (mem_limit - db_bytes) // 16
+    if avail > alen + 2 * blen:
+        avail = (avail - alen) // 2
+    else:
+        avail = avail - (alen + blen)
+    return int(avail * .98)
+
+
+@jax.jit
+def _device_limit(gram, avail):
+    """First histogram bin whose cumulative j*gram[j] exceeds the budget
+    (the match_limit loop, map.c:3013-3052, on device)."""
+    j = jnp.arange(MAXGRAM, dtype=jnp.int32)
+    tom = jnp.cumsum(j * gram)
+    over = tom > avail
+    return jnp.where(over.any(), jnp.argmax(over).astype(jnp.int32),
+                     jnp.int32(MAXGRAM))
+
+
 @jax.jit
 def _match_emit_prep(cb, ct, limit):
     """Selection mask + per-a-row output offsets + total."""
@@ -346,7 +368,9 @@ def _match_emit(aread, arpos, bread, brpos, b_lo, cum, ncap: int):
     dg = jnp.where(pad, 0,
                    ap - brpos[jnp.minimum(b_row, brpos.shape[0] - 1)])
     ar, br, ap, dg = lax.sort((ar, br, ap, dg), num_keys=3, is_stable=True)
-    return ar, br, ap, dg
+    # one stacked buffer -> one host pull (the tunnel pays ~26ms latency
+    # per transfer)
+    return jnp.stack([ar, br, ap, dg])
 
 
 def device_match_seeds(aidx: DeviceKmerIndex, bidx: DeviceKmerIndex,
@@ -362,21 +386,26 @@ def device_match_seeds(aidx: DeviceKmerIndex, bidx: DeviceKmerIndex,
                                       jnp.int32(aidx.n), jnp.int32(bidx.n),
                                       mem_limit > 0)
     if mem_limit > 0:
-        hitgram = np.asarray(gram)
-        limit = match_limit(hitgram, mem_limit, db_bytes, aidx.n, bidx.n)
+        avail = _avail_budget(mem_limit, db_bytes, aidx.n, bidx.n)
+        limit = _device_limit(gram, jnp.int32(min(max(avail, 0),
+                                                  0x7FFFFFFF)))
     else:
-        limit = np.iinfo(np.int32).max
+        limit = jnp.int32(0x7FFFFFFF)
 
-    sel, cum, total = _match_emit_prep(cb, ct, jnp.int32(min(limit,
-                                                             0x7FFFFFFF)))
-    total = int(total)
+    sel, cum, total = _match_emit_prep(cb, ct, limit)
+    # one small pull for the two host-needed scalars
+    tl = np.asarray(jnp.stack([total, limit]))
+    total, limit_v = int(tl[0]), int(tl[1])
+    if mem_limit > 0 and limit_v <= 1:
+        raise MemoryError("Insufficient memory for seed hits; reduce block "
+                          "size or raise -M")
     if total == 0:
         return empty
     ncap = _bucket(total)
-    ar, br, ap, dg = _match_emit(aidx.read, aidx.rpos, bidx.read, bidx.rpos,
-                                 b_lo, cum, ncap)
-    return SeedHits(np.asarray(ar[:total]), np.asarray(br[:total]),
-                    np.asarray(ap[:total]), np.asarray(dg[:total]))
+    packed = np.asarray(_match_emit(aidx.read, aidx.rpos, bidx.read,
+                                    bidx.rpos, b_lo, cum, ncap))
+    return SeedHits(packed[0, :total], packed[1, :total],
+                    packed[2, :total], packed[3, :total])
 
 
 # ---------------------------------------------------------------------------

@@ -51,6 +51,17 @@ PATH_TOP_HI_BIT = 28          # bit 60 of T lives in bit 28 of T_hi
 THI_MASK = np.uint32((1 << 29) - 1)
 
 
+@functools.partial(jax.jit, static_argnames=("fields",))
+def _pack_fields(fields, out):
+    """Concatenate a dict of int32/bool arrays into one flat int32 buffer
+    (single host pull; the tunnel's per-transfer latency dominates)."""
+    parts = []
+    for f in fields:
+        v = out[f]
+        parts.append(v.astype(jnp.int32).reshape(-1))
+    return jnp.concatenate(parts)
+
+
 @dataclass
 class WaveResult:
     """Raw per-lane kernel outputs (host numpy)."""
@@ -829,9 +840,25 @@ class WaveEngine:
                     [x, np.full(B - len(x), fill[nm], np.int32)]))
             out = fn(*[pad(x, nm) for x, nm in zip(args, names)],
                      Aflat, Bflat, *self._consts)
-            self.last_iters = int(out.pop("iters", 0))  # driver telemetry
-            chunks.append({f: np.asarray(v)[:en - st]
-                           for f, v in out.items()})
+            out.pop("kit", None)
+            # ONE device->host round trip for the whole result set: the
+            # axon tunnel costs ~26ms latency PER transfer, so pulling a
+            # dozen arrays separately dominates the batch wall-clock
+            fields = sorted(out)
+            flat = np.asarray(_pack_fields(tuple(fields), out))
+            unpacked = {}
+            off = 0
+            for f in fields:
+                v = out[f]
+                sz = int(np.prod(v.shape)) if v.ndim else 1
+                arr = flat[off:off + sz].reshape(v.shape if v.ndim else ())
+                off += sz
+                if v.dtype == jnp.bool_:
+                    arr = arr.astype(bool)
+                unpacked[f] = arr
+            self.last_iters = int(unpacked.pop("iters", 0))
+            chunks.append({f: v[:en - st]
+                           for f, v in unpacked.items()})
         merged = {f: np.concatenate([c[f] for c in chunks])
                   for f in chunks[0]}
         self.total_waves += int(merged["waves"].sum())

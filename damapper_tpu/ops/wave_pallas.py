@@ -54,7 +54,7 @@ INT32_MAX = np.int32(0x7FFFFFFF)
 NEG_BIG = -np.int32(0x40000000)
 THI_MASK = np.uint32((1 << 29) - 1)
 PATH_TOP_HI_BIT = 28
-SS = 16                     # snake columns per phase-1 iteration
+SS = int(os.environ.get('DAMAPPER_WAVE_SS', 16))  # snake cols per phase-1 iter
 
 i32 = jnp.int32
 u32 = jnp.uint32
@@ -74,7 +74,7 @@ SCALARS = ("low", "hgh", "dif", "more", "besta", "besty", "lasta",
            "morem", "morea", "morey", "mored", "moreha", "morehb",
            "overflow", "avail", "banchor", "kanchor",
            "phase", "live", "stall_reload", "stall_rest", "stall_dbuf",
-           "dcnt", "abase", "bbase", "aoffp", "boffp")
+           "dcnt", "abase", "bbase", "aoffp", "boffp", "kit")
 PLANES = ("codeN", "codeW")                # (.., W, BW) i32
 DBUFS = ("dbuf",)                          # (.., DBUF, 4) i32
 
@@ -111,6 +111,11 @@ def make_segment(W, BW, P, DBUF, reverse):
 
     def seg(st, ts, pave, msc, dsc):
         TS = ts
+        # the match planes are READ-ONLY within a segment: keep them out of
+        # the while carry (a carried (G, W, BW) buffer pair is ~0.5MB that
+        # Mosaic would shuffle every iteration) and close over them instead
+        st = dict(st)
+        _planes = {"codeN": st.pop("codeN"), "codeW": st.pop("codeW")}
         # index vectors built in-trace (a pallas kernel cannot capture
         # closure arrays)
         slots1 = jax.lax.broadcasted_iota(i32, (1, W), 1)
@@ -129,7 +134,7 @@ def make_segment(W, BW, P, DBUF, reverse):
             return run.any()
 
         def seg_body(st):
-            st = dict(st)
+            st = dict(st, kit=st["kit"] + 1)
             G = st["V"].shape[0]
             lane_run = (st["live"] == 1) & (st["stall_reload"] == 0) & \
                        (st["stall_rest"] == 0) & (st["stall_dbuf"] == 0)
@@ -148,78 +153,89 @@ def make_segment(W, BW, P, DBUF, reverse):
                                   (st["avail"] + W >= P)),
                             1, st["overflow"])
 
-            V, NA, NB = st["V"], st["NA"], st["NB"]
-            sl = b2(low & Wm)
-            sh = b2(hgh & Wm)
-            is_sl = slots1 == sl
-            is_sh = slots1 == sh
-            fill = i32(INT32_MAX) if reverse else i32(NEG_BIG)
-
-            def at_slot(arr, s):
-                return jnp.sum(jnp.where(slots1 == s, arr, 0), axis=1,
-                               keepdims=True)
-
-            sAb = b2(sA)
-            V = jnp.where(sAb & (is_sl | is_sh), fill, V)
-            na_lo = at_slot(NA, b2((low + 1) & Wm))
-            na_hi = at_slot(NA, b2((hgh - 1) & Wm))
-            nb_lo = at_slot(NB, b2((low + 1) & Wm))
-            nb_hi = at_slot(NB, b2((hgh - 1) & Wm))
-            NA = jnp.where(sAb & is_sl, na_lo,
-                           jnp.where(sAb & is_sh, na_hi, NA))
-            NB = jnp.where(sAb & is_sl, nb_lo,
-                           jnp.where(sAb & is_sh, nb_hi, NB))
-
             k = b2(low) + jnp.remainder(slots1 - b2(low), W)
             in_band = k <= b2(hgh)
+            fill = i32(INT32_MAX) if reverse else i32(NEG_BIG)
+            sAb = b2(sA)
 
-            Vm = jnp.where(in_band, V, fill)
-            ap = jnp.roll(Vm, -1, axis=1)
-            am = jnp.roll(Vm, 1, axis=1)
-            ac = Vm
-            if not reverse:
-                lt = ac < am
-                pickP = (lt & (am < ap)) | (~lt & (ac < ap))
-                pickM = lt & ~pickP
-                c0 = jnp.where(pickP, ap + 1,
-                               jnp.where(pickM, am + 1, ac + 2))
-            else:
-                gt = ac > ap
-                pickM = (gt & (ap > am)) | (~gt & (ac > am))
-                pickP = gt & ~pickM
-                c0 = jnp.where(pickM, am - 1,
-                               jnp.where(pickP, ap - 1, ac - 2))
+            def _phaseA(_):
+                V, NA, NB = st["V"], st["NA"], st["NB"]
+                sl = b2(low & Wm)
+                sh = b2(hgh & Wm)
+                is_sl = slots1 == sl
+                is_sh = slots1 == sh
 
-            def pick3(arr):
-                return jnp.where(pickP, jnp.roll(arr, -1, axis=1),
-                                 jnp.where(pickM, jnp.roll(arr, 1, axis=1),
-                                           arr))
+                def at_slot(arr, sx):
+                    return jnp.sum(jnp.where(slots1 == sx, arr, 0), axis=1,
+                                   keepdims=True)
 
-            m0 = pick3(st["M"])
-            thi0 = pick3(st["Thi"])
-            tlo0 = pick3(st["Tlo"])
-            ha0 = pick3(st["HA"])
-            hb0 = pick3(st["HB"])
-            ma0 = pick3(st["MA"])
-            mb0 = pick3(st["MB"])
+                V = jnp.where(sAb & (is_sl | is_sh), fill, V)
+                na_lo = at_slot(NA, b2((low + 1) & Wm))
+                na_hi = at_slot(NA, b2((hgh - 1) & Wm))
+                nb_lo = at_slot(NB, b2((low + 1) & Wm))
+                nb_hi = at_slot(NB, b2((hgh - 1) & Wm))
+                NA = jnp.where(sAb & is_sl, na_lo,
+                               jnp.where(sAb & is_sh, na_hi, NA))
+                NB = jnp.where(sAb & is_sl, nb_lo,
+                               jnp.where(sAb & is_sh, nb_hi, NB))
 
-            top = (thi0 >> PATH_TOP_HI_BIT) & 1
-            m0 = m0 - top.astype(i32)
-            thi0 = ((thi0 << 1) | (tlo0 >> 31)) & THI_MASK
-            tlo0 = tlo0 << 1
-            y0 = jnp.right_shift(c0 - k, 1)
+                Vm = jnp.where(in_band, V, fill)
+                ap = jnp.roll(Vm, -1, axis=1)
+                am = jnp.roll(Vm, 1, axis=1)
+                ac = Vm
+                if not reverse:
+                    lt = ac < am
+                    pickP = (lt & (am < ap)) | (~lt & (ac < ap))
+                    pickM = lt & ~pickP
+                    c0 = jnp.where(pickP, ap + 1,
+                                   jnp.where(pickM, am + 1, ac + 2))
+                else:
+                    gt = ac > ap
+                    pickM = (gt & (ap > am)) | (~gt & (ac > am))
+                    pickP = gt & ~pickM
+                    c0 = jnp.where(pickM, am - 1,
+                                   jnp.where(pickP, ap - 1, ac - 2))
 
-            sy = jnp.where(sAb, y0, st["sy"])
-            sm = jnp.where(sAb, m0, st["sm"])
-            sthi = jnp.where(sAb, thi0, st["sthi"])
-            stlo = jnp.where(sAb, tlo0, st["stlo"])
-            wha = jnp.where(sAb, ha0, st["wha"])
-            whb = jnp.where(sAb, hb0, st["whb"])
-            wma = jnp.where(sAb, ma0, st["wma"])
-            wmb = jnp.where(sAb, mb0, st["wmb"])
-            sact = jnp.where(sAb, in_band.astype(i32), st["sact"])
-            sca = jnp.where(sAb, 0, st["sca"])
-            scb = jnp.where(sAb, 0, st["scb"])
+                def pick3(arr):
+                    return jnp.where(
+                        pickP, jnp.roll(arr, -1, axis=1),
+                        jnp.where(pickM, jnp.roll(arr, 1, axis=1), arr))
+
+                m0 = pick3(st["M"])
+                thi0 = pick3(st["Thi"])
+                tlo0 = pick3(st["Tlo"])
+                ha0 = pick3(st["HA"])
+                hb0 = pick3(st["HB"])
+                ma0 = pick3(st["MA"])
+                mb0 = pick3(st["MB"])
+
+                top = (thi0 >> PATH_TOP_HI_BIT) & 1
+                m0 = m0 - top.astype(i32)
+                thi0 = ((thi0 << 1) | (tlo0 >> 31)) & THI_MASK
+                tlo0 = tlo0 << 1
+                y0 = jnp.right_shift(c0 - k, 1)
+
+                return (jnp.where(sAb, y0, st["sy"]),
+                        jnp.where(sAb, m0, st["sm"]),
+                        jnp.where(sAb, thi0, st["sthi"]),
+                        jnp.where(sAb, tlo0, st["stlo"]),
+                        jnp.where(sAb, ha0, st["wha"]),
+                        jnp.where(sAb, hb0, st["whb"]),
+                        jnp.where(sAb, ma0, st["wma"]),
+                        jnp.where(sAb, mb0, st["wmb"]),
+                        jnp.where(sAb, in_band.astype(i32), st["sact"]),
+                        jnp.where(sAb, 0, st["sca"]),
+                        jnp.where(sAb, 0, st["scb"]),
+                        V, NA, NB)
+
+            def _phaseA_skip(_):
+                return (st["sy"], st["sm"], st["sthi"], st["stlo"],
+                        st["wha"], st["whb"], st["wma"], st["wmb"],
+                        st["sact"], st["sca"], st["scb"],
+                        st["V"], st["NA"], st["NB"])
+
+            (sy, sm, sthi, stlo, wha, whb, wma, wmb, sact, sca, scb,
+             V, NA, NB) = jax.lax.cond(sA.any(), _phaseA, _phaseA_skip, 0)
             phase = jnp.where(sA, 1, st["phase"])
 
             # ---------------- phase S: one snake step ------------------
@@ -247,7 +263,7 @@ def make_segment(W, BW, P, DBUF, reverse):
             oc = jnp.clip(o, 0, BW - 1)
             jm = jidx >= oc[:, :, None]
             wrap3 = wrap.astype(i32)[:, :, None] != 0
-            csel = jnp.where(wrap3, st["codeW"], st["codeN"])
+            csel = jnp.where(wrap3, _planes["codeW"], _planes["codeN"])
             r = jnp.min(jnp.where(jm, csel, BIGC), axis=2)
             found = r < BIGC
             jstar = jnp.where(found, r >> 2, BW)
@@ -374,116 +390,132 @@ def make_segment(W, BW, P, DBUF, reverse):
             wma = jnp.where(sBb, MK2[:, :W], wma)
             wmb = jnp.where(sBb, MK2[:, W:], wmb)
 
-            # best/trim triggers in slot space (two-segment scans)
+            # best/trim triggers in slot space (two-segment scans),
+            # gated on any lane completing a wave this iteration: the
+            # scans + score-table loops are the most expensive part of
+            # the body and are pure per-lane outputs
             rel = jnp.remainder(slots1 - b2(low), W)
             low0 = b2(jnp.remainder(low, W))
             maskU = slots1 >= low0
 
-            def revcummax(v):
-                idx = slots1
-                s = 1
-                out = v
-                while s < W:
-                    sh = jnp.roll(out, -s, axis=1)
-                    ok = idx + s < W
-                    out = jnp.maximum(out, jnp.where(ok, sh, NEG_BIG))
-                    s *= 2
-                return out
+            def _trim_block(_):
 
-            def cummin(v):
-                idx = slots1
-                s = 1
-                out = v
-                while s < W:
-                    sh = jnp.roll(out, s, axis=1)
-                    ok = idx - s >= 0
-                    out = jnp.minimum(out, jnp.where(ok, sh, INT32_MAX))
-                    s *= 2
-                return out
+                def revcummax(v):
+                    idx = slots1
+                    s = 1
+                    out = v
+                    while s < W:
+                        sh = jnp.roll(out, -s, axis=1)
+                        ok = idx + s < W
+                        out = jnp.maximum(out, jnp.where(ok, sh, NEG_BIG))
+                        s *= 2
+                    return out
 
-            besta = st["besta"]
-            if not reverse:
-                cU = jnp.where(in_band & maskU, c, NEG_BIG)
-                cL = jnp.where(in_band & ~maskU, c, NEG_BIG)
-                sufU = revcummax(cU)
-                sufL = revcummax(cL)
-                maxL = jnp.max(cL, axis=1, keepdims=True)
-                sufU_x = jnp.where(slots1 < W - 1,
-                                   jnp.roll(sufU, -1, axis=1), NEG_BIG)
-                sufL_x = jnp.where(slots1 < W - 1,
-                                   jnp.roll(sufL, -1, axis=1), NEG_BIG)
-                suf_excl = jnp.where(maskU, jnp.maximum(sufU_x, maxL),
-                                     sufL_x)
-                runbase = jnp.maximum(b2(besta), suf_excl)
-                trigger = in_band & (c > runbase)
-                new_besta = jnp.maximum(
-                    besta, jnp.max(jnp.where(in_band, c, NEG_BIG), axis=1))
-            else:
-                cU = jnp.where(in_band & maskU, c, INT32_MAX)
-                cL = jnp.where(in_band & ~maskU, c, INT32_MAX)
-                preU = cummin(cU)
-                preL = cummin(cL)
-                minU = jnp.min(cU, axis=1, keepdims=True)
-                preU_x = jnp.where(slots1 > 0,
-                                   jnp.roll(preU, 1, axis=1), INT32_MAX)
-                preL_x = jnp.where(slots1 > 0,
-                                   jnp.roll(preL, 1, axis=1), INT32_MAX)
-                pre_excl = jnp.where(maskU, preU_x,
-                                     jnp.minimum(preL_x, minU))
-                runbase = jnp.minimum(b2(besta), pre_excl)
-                trigger = in_band & (c < runbase)
-                new_besta = jnp.minimum(
-                    besta, jnp.min(jnp.where(in_band, c, INT32_MAX),
-                                   axis=1))
+                def cummin(v):
+                    idx = slots1
+                    s = 1
+                    out = v
+                    while s < W:
+                        sh = jnp.roll(out, s, axis=1)
+                        ok = idx - s >= 0
+                        out = jnp.minimum(out, jnp.where(ok, sh, INT32_MAX))
+                        s *= 2
+                    return out
 
-            i1 = (stlo & 0x7FFF).astype(i32)
-            i2 = ((stlo >> 15) & 0x7FFF).astype(i32)
+                besta = st["besta"]
+                if not reverse:
+                    cU = jnp.where(in_band & maskU, c, NEG_BIG)
+                    cL = jnp.where(in_band & ~maskU, c, NEG_BIG)
+                    sufU = revcummax(cU)
+                    sufL = revcummax(cL)
+                    maxL = jnp.max(cL, axis=1, keepdims=True)
+                    sufU_x = jnp.where(slots1 < W - 1,
+                                       jnp.roll(sufU, -1, axis=1), NEG_BIG)
+                    sufL_x = jnp.where(slots1 < W - 1,
+                                       jnp.roll(sufL, -1, axis=1), NEG_BIG)
+                    suf_excl = jnp.where(maskU, jnp.maximum(sufU_x, maxL),
+                                         sufL_x)
+                    runbase = jnp.maximum(b2(besta), suf_excl)
+                    trigger = in_band & (c > runbase)
+                    new_besta = jnp.maximum(
+                        besta, jnp.max(jnp.where(in_band, c, NEG_BIG), axis=1))
+                else:
+                    cU = jnp.where(in_band & maskU, c, INT32_MAX)
+                    cL = jnp.where(in_band & ~maskU, c, INT32_MAX)
+                    preU = cummin(cU)
+                    preL = cummin(cL)
+                    minU = jnp.min(cU, axis=1, keepdims=True)
+                    preU_x = jnp.where(slots1 > 0,
+                                       jnp.roll(preU, 1, axis=1), INT32_MAX)
+                    preL_x = jnp.where(slots1 > 0,
+                                       jnp.roll(preL, 1, axis=1), INT32_MAX)
+                    pre_excl = jnp.where(maskU, preU_x,
+                                         jnp.minimum(preL_x, minU))
+                    runbase = jnp.minimum(b2(besta), pre_excl)
+                    trigger = in_band & (c < runbase)
+                    new_besta = jnp.minimum(
+                        besta, jnp.min(jnp.where(in_band, c, INT32_MAX),
+                                       axis=1))
 
-            def tbl(x):
-                cum = jnp.zeros_like(x)
-                maxp = jnp.zeros_like(x)
-                for ii in range(TRIM_LEN - 1, -1, -1):
-                    bit = (x >> ii) & 1
-                    cum = cum + jnp.where(bit == 1, msc, -dsc)
-                    maxp = jnp.maximum(maxp, cum)
-                return cum - maxp, cum
+                i1 = (stlo & 0x7FFF).astype(i32)
+                i2 = ((stlo >> 15) & 0x7FFF).astype(i32)
 
-            t1, s1 = tbl(i1)
-            t2, _ = tbl(i2)
-            tbl_ok = (t1 >= 0) & (t2 + s1 >= 0)
-            m_ok = sm >= pave
+                def tbl(x):
+                    cum = jnp.zeros_like(x)
+                    maxp = jnp.zeros_like(x)
+                    for ii in range(TRIM_LEN - 1, -1, -1):
+                        bit = (x >> ii) & 1
+                        cum = cum + jnp.where(bit == 1, msc, -dsc)
+                        maxp = jnp.maximum(maxp, cum)
+                    return cum - maxp, cum
 
-            if not reverse:
-                def chosen(msk):
-                    return jnp.min(jnp.where(msk, rel, W), axis=1,
-                                   keepdims=True)
-            else:
-                def chosen(msk):
-                    return jnp.max(jnp.where(msk, rel, -1), axis=1,
-                                   keepdims=True)
+                t1, s1 = tbl(i1)
+                t2, _ = tbl(i2)
+                tbl_ok = (t1 >= 0) & (t2 + s1 >= 0)
+                m_ok = sm >= pave
 
-            def pick_at(msk, arr):
-                oneh = msk & (rel == chosen(msk))
-                return jnp.sum(jnp.where(oneh, arr, 0), axis=1)
+                if not reverse:
+                    def chosen(msk):
+                        return jnp.min(jnp.where(msk, rel, W), axis=1,
+                                       keepdims=True)
+                else:
+                    def chosen(msk):
+                        return jnp.max(jnp.where(msk, rel, -1), axis=1,
+                                       keepdims=True)
 
-            any0 = trigger.any(axis=1)
-            besty = jnp.where(snake_done & any0, pick_at(trigger, y),
-                              st["besty"])
-            besta = jnp.where(snake_done, new_besta, besta)
+                def pick_at(msk, arr):
+                    oneh = msk & (rel == chosen(msk))
+                    return jnp.sum(jnp.where(oneh, arr, 0), axis=1)
 
-            trig_m = trigger & m_ok
-            any1 = trig_m.any(axis=1)
-            lasta = jnp.where(snake_done & any1, pick_at(trig_m, c),
-                              st["lasta"])
+                any0 = trigger.any(axis=1)
+                besty = jnp.where(snake_done & any0, pick_at(trigger, y),
+                                  st["besty"])
+                besta = jnp.where(snake_done, new_besta, besta)
 
-            trig_t = trig_m & tbl_ok
-            any2 = trig_t.any(axis=1)
-            upd2 = snake_done & any2
-            trima = jnp.where(upd2, pick_at(trig_t, c), st["trima"])
-            trimy = jnp.where(upd2, pick_at(trig_t, y), st["trimy"])
-            trimd = jnp.where(upd2, dif, st["trimd"])
-            trimha = jnp.where(upd2, pick_at(trig_t, wha), st["trimha"])
-            trimhb = jnp.where(upd2, pick_at(trig_t, whb), st["trimhb"])
+                trig_m = trigger & m_ok
+                any1 = trig_m.any(axis=1)
+                lasta = jnp.where(snake_done & any1, pick_at(trig_m, c),
+                                  st["lasta"])
+
+                trig_t = trig_m & tbl_ok
+                any2 = trig_t.any(axis=1)
+                upd2 = snake_done & any2
+                trima = jnp.where(upd2, pick_at(trig_t, c), st["trima"])
+                trimy = jnp.where(upd2, pick_at(trig_t, y), st["trimy"])
+                trimd = jnp.where(upd2, dif, st["trimd"])
+                trimha = jnp.where(upd2, pick_at(trig_t, wha), st["trimha"])
+                trimhb = jnp.where(upd2, pick_at(trig_t, whb), st["trimhb"])
+
+                return (besta, besty, lasta, trima, trimy, trimd,
+                        trimha, trimhb)
+
+            def _trim_skip(_):
+                return (st["besta"], st["besty"], st["lasta"],
+                        st["trima"], st["trimy"], st["trimd"],
+                        st["trimha"], st["trimhb"])
+
+            (besta, besty, lasta, trima, trimy, trimd, trimha, trimhb) = \
+                jax.lax.cond(snake_done.any(), _trim_block, _trim_skip, 0)
 
             # store band state
             V = jnp.where(sBb & in_band, c, V)
@@ -578,7 +610,8 @@ def make_segment(W, BW, P, DBUF, reverse):
                       stall_rest=stall_rest, stall_dbuf=stall_dbuf)
             return st
 
-        return jax.lax.while_loop(seg_cond, seg_body, st)
+        out = jax.lax.while_loop(seg_cond, seg_body, st)
+        return dict(out, **_planes)
 
     return seg
 
@@ -747,7 +780,7 @@ def make_prologue(W, P, BW, DBUF, reverse):
                    avail=avail, banchor=i32(-(1 << 30)),
                    kanchor=i32(-(1 << 30)), phase=i32(0), live=live,
                    stall_reload=live, stall_rest=i32(0),
-                   stall_dbuf=i32(0), dcnt=i32(0),
+                   stall_dbuf=i32(0), dcnt=i32(0), kit=i32(0),
                    abase=abase, bbase=bbase, aoffp=aoffp, boffp=boffp,
                    codeN=jnp.zeros((W, BW), i32),
                    codeW=jnp.zeros((W, BW), i32),
@@ -826,6 +859,7 @@ def make_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
         from jax.experimental.pallas import tpu as pltpu
 
         B = st["V"].shape[0]
+        Gm = min(G, B)          # small batches: one group spans the batch
         names = list(ORDER)
         consts = jnp.stack([ts, pave, msc, dsc]).astype(i32)
 
@@ -850,12 +884,12 @@ def make_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
         def bspec(nm):
             shp = st[nm].shape[1:]
             if nm in SCALARS:
-                return pl.BlockSpec((G, 1), lambda i: (i, 0),
+                return pl.BlockSpec((Gm, 1), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
             if len(shp) == 1:
-                return pl.BlockSpec((G, shp[0]), lambda i: (i, 0),
+                return pl.BlockSpec((Gm, shp[0]), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
-            return pl.BlockSpec((G,) + shp, lambda i: (i, 0, 0),
+            return pl.BlockSpec((Gm,) + shp, lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
 
         in_specs = [bspec(nm) for nm in names]
@@ -871,7 +905,7 @@ def make_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
         out_shape = tuple(oshape(nm) for nm in names)
         outs = pl.pallas_call(
             kernel,
-            grid=(B // G,),
+            grid=(B // Gm,),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
@@ -897,6 +931,12 @@ def make_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
             prologue, in_axes=(0, 0, 0, 0, 0, 0, None, None, None)
         )(abase, bbase, mida, k0, aoffp, boffp, Aflat, Bflat, ts)
         st1 = dict(st1, _it=jnp.zeros((), i32))
+        # DBUF scratch rows beyond P: the per-segment drop-buffer flush is a
+        # contiguous append, written as ONE dynamic_update_slice of the full
+        # buffer (a row scatter would serialize on TPU); rows past dcnt are
+        # garbage that lands in not-yet-allocated pool space and is
+        # overwritten by later appends before ever becoming visible
+        pool = jnp.pad(pool, ((0, 0), (0, DBUF), (0, 0)))
 
         def cond(c):
             st, pool = c
@@ -963,17 +1003,17 @@ def make_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
             _it = st.pop("_it")
             st = dict(segment(st, ts, pave, msc, dsc), _it=_it)
 
-            # flush the drop buffers into the pool
-            r = jnp.arange(DBUF, dtype=i32)[None, :]
-            base = (st["avail"] - st["dcnt"])[:, None]
-            widx = jnp.where(r < st["dcnt"][:, None], base + r, P)
+            # flush the drop buffers into the pool (contiguous append)
+            base = jnp.clip(st["avail"] - st["dcnt"], 0, P)
             pool = jax.vmap(
-                lambda pl_, w, rows: pl_.at[w].set(rows, mode="drop")
-            )(pool, widx, st["dbuf"])
+                lambda pl_, b, rows: jax.lax.dynamic_update_slice(
+                    pl_, rows, (b, 0))
+            )(pool, base, st["dbuf"])
             st = dict(st, dcnt=jnp.zeros_like(st["dcnt"]))
             return (st, pool)
 
         st, pool = jax.lax.while_loop(cond, body, (st1, pool))
+        pool = pool[:, :P]
         return dict(trima=st["trima"], trimy=st["trimy"], trimd=st["trimd"],
                     trimha=st["trimha"], trimhb=st["trimhb"],
                     morem=st["morem"], morea=st["morea"],
@@ -981,7 +1021,7 @@ def make_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
                     moreha=st["moreha"], morehb=st["morehb"], pool=pool,
                     avail=st["avail"],
                     overflow=st["overflow"].astype(bool),
-                    waves=st["dif"], iters=st["_it"])
+                    waves=st["dif"], iters=st["_it"], kit=st["kit"])
 
     return driver
 
@@ -1002,11 +1042,17 @@ class PallasWaveEngine:
     inherited from WaveEngine."""
 
     def __new__(cls, spec, band_cap=64, pool_cap=2048, mesh=None,
-                use_pallas=None, interpret=False, group=8):
+                use_pallas=None, interpret=False, group=None):
         from . import wave_jax
 
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform != "cpu"
+        if group is None:
+            # measured on real batches: (G,W) ops have flat ~57ns cost, but
+            # the snake's (G,W,BW) plane ops scale past G=8 and lockstep
+            # divergence grows with the group, so G=8 wins end to end
+            # (G=32 was ~25% slower on a 201-lane 12Mb batch)
+            group = int(os.environ.get("DAMAPPER_WAVE_GROUP", 8))
 
         class _Engine(wave_jax.WaveEngine):
             def _get_fns(self, P):

@@ -76,3 +76,92 @@ def test_gap_improver_on_pipeline_traces(golden_small):
         _, diffs = decode_script(aseq, bseq, path)
         assert diffs == path.diffs
         assert gap_metric(path) <= before
+
+
+def build_gap_driver():
+    import pathlib
+    import subprocess
+
+    from tests import helpers
+    REF = pathlib.Path("/root/reference")
+    helpers.BIN.mkdir(parents=True, exist_ok=True)
+    exe = helpers.BIN / "gap_driver"
+    src = helpers.REPO / "tests" / "gap_driver.c"
+    if not exe.exists() or exe.stat().st_mtime < src.stat().st_mtime:
+        subprocess.run(
+            ["gcc", "-O2", "-Wno-unused-result", "-I", str(REF),
+             "-o", str(exe), str(src),
+             str(REF / "align.c"), str(REF / "DB.c"), str(REF / "QV.c"),
+             "-lm", "-lpthread"],
+            check=True, capture_output=True)
+    return exe
+
+
+def run_reference_gap(a_num, b_num, path):
+    import subprocess
+
+    exe = build_gap_driver()
+    inp = "%d %d %d %d %d %d\n%s\n%s\n%s\n" % (
+        path.abpos, path.bbpos, path.aepos, path.bepos, path.diffs,
+        len(path.trace),
+        " ".join(str(int(v)) for v in path.trace),
+        dbio.numeric_to_seq(a_num, upper=True),
+        dbio.numeric_to_seq(b_num, upper=True))
+    r = subprocess.run([str(exe)], input=inp, capture_output=True,
+                       text=True, check=True)
+    lines = r.stdout.splitlines()
+    tag, *vals = lines[0].split()
+    trace = [int(x) for x in lines[1].split()]
+    abpos, bbpos, aepos, bepos, diffs, tlen = map(int, vals)
+    assert len(trace) == tlen
+    out = PathRec(abpos=abpos, bbpos=bbpos, aepos=aepos, bepos=bepos)
+    out.trace = trace
+    out.diffs = diffs
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 5])
+def test_gap_improver_differential_vs_reference(seed):
+    """Differential vs the reference binary's Gap_Improver (align.c:5607):
+    endpoints must agree, both outputs must stay valid scripts, and our
+    deliberate splice-based variant must consolidate at least as well as
+    the reference's in-place rewrite (same objective, align.c:5754)."""
+    rng = np.random.default_rng(700 + seed)
+    from tests.test_trace import sim_pair
+    a, b = sim_pair(rng, n=500, err=0.22)
+    out = []
+    d = T.iter_np(a, b, 0, 0, T.GREEDIEST, max(len(a), len(b)), out)
+    mk = lambda: PathRec(abpos=0, bbpos=0, aepos=len(a), bepos=len(b))
+    ours = mk()
+    ours.trace = list(out)
+    ours.diffs = d
+    theirs = mk()
+    theirs.trace = list(out)
+    theirs.diffs = d
+
+    ref = run_reference_gap(a, b, theirs)
+    gap_improver(a, b, ours)
+
+    # endpoints unchanged on both sides
+    assert (ref.abpos, ref.bbpos, ref.aepos, ref.bepos) == \
+           (0, 0, len(a), len(b))
+    assert (ours.abpos, ours.bbpos, ours.aepos, ours.bepos) == \
+           (0, 0, len(a), len(b))
+    # both improved traces must decode as valid scripts; NB the reference
+    # occasionally leaves path.diffs one off from its rewritten trace (its
+    # in-place bookkeeping), so the decoded count is authoritative for it
+    _, rd = decode_script(a, b, ref)
+    assert abs(rd - ref.diffs) <= 1
+    _, od = decode_script(a, b, ours)
+    assert od == ours.diffs
+    # same objective (gap groups + substitutions): our consolidation is at
+    # least as good as the reference's
+    def groups(tr):
+        g, prev = 0, None
+        for v in tr:
+            if v != prev:
+                g += 1
+                prev = v
+        return g
+    ref_metric = groups(ref.trace) + (rd - len(ref.trace))
+    assert gap_metric(ours) <= ref_metric

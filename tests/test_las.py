@@ -95,3 +95,36 @@ def test_extra_records_roundtrip(tmp_path):
             assert False, "EXACT mismatch must raise"
         except ValueError as ex:
             assert "does not agree" in str(ex)
+
+
+def test_truncated_files_fail_fast(tmp_path):
+    """Guarded batch I/O (FFREAD discipline DB.h:136-224): truncated .las
+    and .idx files must raise corruption errors, not yield partial data."""
+    import numpy as np
+    import pytest
+    from damapper_tpu.io import db as dbio, fasta
+    from damapper_tpu.io import las as lasio
+    from tests import helpers
+
+    rng = np.random.default_rng(8)
+    reads = [helpers.sim_genome(rng, 2000) for _ in range(3)]
+    dbio.create_db(str(tmp_path / "rd.db"),
+                   [fasta.FastaEntry(f"r{i}", r) for i, r in enumerate(reads)])
+
+    # truncated .las: header-only, then mid-record
+    recs = [lasio.LA(0, 0, 0, 0, 100, 0, 100, 5,
+                     np.array([5, 100], np.int32))]
+    p = tmp_path / "x.las"
+    lasio.write_las(str(p), recs, 100)
+    raw = p.read_bytes()
+    for cut in (8, 20, len(raw) - 1):
+        p.write_bytes(raw[:cut])
+        with pytest.raises(IOError):
+            lasio.read_las(str(p))
+
+    # truncated .idx: drop the tail of the read records
+    idx = tmp_path / ".rd.idx"
+    iraw = idx.read_bytes()
+    idx.write_bytes(iraw[:len(iraw) - 16])
+    with pytest.raises(IOError):
+        dbio.DazzDB.open(str(tmp_path / "rd.db"))
