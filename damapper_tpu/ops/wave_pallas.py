@@ -824,7 +824,11 @@ def make_reload(W, BW, reverse):
             bwin = jnp.flip(jax.lax.dynamic_slice(Bflat, (bs,), (BW,)))
             awin = jnp.flip(jax.lax.dynamic_slice(Aflat, (as_,), (AW,)))
             offs = [W if s == 0 else W - s for s in range(W)]
-        aw2 = jnp.stack([awin[o:o + BW + W] for o in offs])
+        # one gather instead of W separate slice ops: the driver loop's
+        # XLA op count is a real cost on this backend
+        offs_arr = jnp.asarray(np.array(offs, np.int32))
+        idx = offs_arr[:, None] + jnp.arange(BW + W, dtype=jnp.int32)[None]
+        aw2 = awin[idx]
         awN = aw2[:, :BW]
         awW = aw2[:, W:W + BW]
         b4 = (bwin == 4)[None, :]
