@@ -75,7 +75,12 @@ SCALARS = ("low", "hgh", "dif", "more", "besta", "besty", "lasta",
            "overflow", "avail", "banchor", "kanchor",
            "phase", "live", "stall_reload", "stall_rest", "stall_dbuf",
            "dcnt", "abase", "bbase", "aoffp", "boffp", "kit")
-PLANES = ("codeN", "codeW")                # (.., W, BW) i32
+PLANES = ("mstopN", "mb4N", "ma4N", "mstopW", "mb4W", "ma4W")
+#   bitmask match planes, (.., (BW//32)*W) u32 in q-major layout (word q of
+#   band slot w at column q*W + w): bit j%32 of word j//32 set when column
+#   j of the slot's window is a stop / b-sentinel / a-sentinel.  q-major
+#   keeps each word plane a contiguous (G, W) slice and the minor dim a
+#   multiple of the 128-lane tile
 DBUFS = ("dbuf",)                          # (.., DBUF, 4) i32
 
 ORDER = BAND_I32 + BAND_U32 + BAND_MSK + SCALARS + PLANES + DBUFS
@@ -91,8 +96,8 @@ def state_arrays(n, W, BW, DBUF):
         st[nm] = jnp.zeros((n, W), i32)
     for nm in SCALARS:
         st[nm] = jnp.zeros((n,), i32)
-    st["codeN"] = jnp.zeros((n, W, BW), i32)
-    st["codeW"] = jnp.zeros((n, W, BW), i32)
+    for nm in PLANES:
+        st[nm] = jnp.zeros((n, (BW // 32) * W), u32)
     st["dbuf"] = jnp.zeros((n, DBUF, 4), i32)
     return st
 
@@ -115,7 +120,7 @@ def make_segment(W, BW, P, DBUF, reverse):
         # the while carry (a carried (G, W, BW) buffer pair is ~0.5MB that
         # Mosaic would shuffle every iteration) and close over them instead
         st = dict(st)
-        _planes = {"codeN": st.pop("codeN"), "codeW": st.pop("codeW")}
+        _planes = {nm: st.pop(nm) for nm in PLANES}
         # index vectors built in-trace (a pallas kernel cannot capture
         # closure arrays)
         slots1 = jax.lax.broadcasted_iota(i32, (1, W), 1)
@@ -261,17 +266,47 @@ def make_segment(W, BW, P, DBUF, reverse):
             stall_reload = jnp.where(sS & need_rl, 1, st["stall_reload"])
 
             oc = jnp.clip(o, 0, BW - 1)
-            jm = jidx >= oc[:, :, None]
-            wrap3 = wrap.astype(i32)[:, :, None] != 0
-            csel = jnp.where(wrap3, _planes["codeW"], _planes["codeN"])
-            r = jnp.min(jnp.where(jm, csel, BIGC), axis=2)
-            found = r < BIGC
-            jstar = jnp.where(found, r >> 2, BW)
+            # bitmask lookup: first stop column >= oc via word select +
+            # per-element shift + lowest-set-bit (all (G, W) elementwise;
+            # no (G, W, BW) tensors touch the kernel)
+            q0 = oc >> 5
+            b0 = (oc & 31).astype(u32)
+            wrapm = wrap
+            BWW = BW // 32
+
+            def word(nm_n, nm_w, q):
+                wn = _planes[nm_n][:, q * W:(q + 1) * W]
+                ww = _planes[nm_w][:, q * W:(q + 1) * W]
+                return jnp.where(wrapm, ww, wn)
+
+            BIGJ = i32(BW + 64)
+            jstar = jnp.full_like(oc, BIGJ)
+            for q in range(BWW):
+                wq = word("mstopN", "mstopW", q)
+                # keep only bits >= b0 in the word containing oc; whole
+                # word beyond it; nothing before it
+                keep = jnp.where(q0 == q, wq >> b0 << b0,
+                                 jnp.where(q0 < q, wq, u32(0)))
+                lowbit = keep & (~keep + u32(1))
+                ctz = jax.lax.population_count(
+                    lowbit - u32(1)).astype(i32)
+                cand = jnp.where(keep != 0, q * 32 + ctz, BIGJ)
+                jstar = jnp.minimum(jstar, cand)
+            found = jstar < BIGJ
+            jstar = jnp.where(found, jstar, BW)
             run = jstar - oc
             nst = jnp.where(usable, jnp.minimum(run, SS), 0)
             adv_done = usable & (run <= SS) & found
-            sbv = ((r >> 1) & 1) == 1
-            a4s = (r & 1) == 1
+            # stop-cause flags read from the flag masks at column jstar
+            jq = jnp.clip(jstar >> 5, 0, BWW - 1)
+            jb = (jstar & 31).astype(u32)
+            b4w = word("mb4N", "mb4W", 0)
+            a4w = word("ma4N", "ma4W", 0)
+            for q in range(1, BWW):
+                b4w = jnp.where(jq == q, word("mb4N", "mb4W", q), b4w)
+                a4w = jnp.where(jq == q, word("ma4N", "ma4W", q), a4w)
+            sbv = ((b4w >> jb) & u32(1)) == 1
+            a4s = ((a4w >> jb) & u32(1)) == 1
             sb = adv_done & sbv
             sa = adv_done & ~sbv & a4s
 
@@ -782,8 +817,8 @@ def make_prologue(W, P, BW, DBUF, reverse):
                    stall_reload=live, stall_rest=i32(0),
                    stall_dbuf=i32(0), dcnt=i32(0), kit=i32(0),
                    abase=abase, bbase=bbase, aoffp=aoffp, boffp=boffp,
-                   codeN=jnp.zeros((W, BW), i32),
-                   codeW=jnp.zeros((W, BW), i32),
+                   **{nm: jnp.zeros(((BW // 32) * W,), u32)
+                      for nm in PLANES},
                    dbuf=jnp.zeros((DBUF, 4), i32))
         return out, pool
 
@@ -832,14 +867,23 @@ def make_reload(W, BW, reverse):
         awN = aw2[:, :BW]
         awW = aw2[:, W:W + BW]
         b4 = (bwin == 4)[None, :]
+        shifts = jnp.arange(32, dtype=u32)[None, None, :]
 
-        def code(aw):
+        def masks(aw):
             stop = b4 | (bwin[None, :] != aw)
-            val = ((jidxr[None, :] << 2) | (b4.astype(i32) << 1) |
-                   (aw == 4).astype(i32))
-            return jnp.where(stop, val, BIGC)
+            b4m = jnp.broadcast_to(b4, stop.shape)
+            a4m = aw == 4
 
-        return code(awN), code(awW), banchor, kanchor, bad
+            def pack(bits):
+                v = bits.reshape(W, BW // 32, 32).astype(u32)
+                w = jnp.sum(v << shifts, axis=-1).astype(u32)
+                return w.T.reshape(-1)        # q-major flat layout
+
+            return pack(stop), pack(b4m), pack(a4m)
+
+        sN, bN, aN = masks(awN)
+        sW_, bW_, aW_ = masks(awW)
+        return sN, bN, aN, sW_, bW_, aW_, banchor, kanchor, bad
 
     return reload
 
@@ -917,7 +961,7 @@ def make_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
             # the phase machine's (G, W, BW) temporaries exceed the default
             # 16M scoped-vmem budget for BW > 128 (v5e has 128M physical)
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 1024 * 1024),
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(*[arg(nm) for nm in names], consts[None, :])
         res = {}
@@ -990,7 +1034,8 @@ def make_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
             else:
                 yref = jnp.where(have_act, jnp.max(yact, axis=1),
                                  jnp.max(yv, axis=1))
-            codeN, codeW, banchor, kanchor, bad = jax.vmap(
+            (msN, mbN, maN, msW, mbW, maW, banchor, kanchor,
+             bad) = jax.vmap(
                 reload_, in_axes=(0, 0, 0, 0, 0, 0, None, None)
             )(st["abase"], st["bbase"], yref, st["low"], st["hgh"],
               live == 1, Aflat, Bflat)
@@ -998,7 +1043,8 @@ def make_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
             live = jnp.where(bad, 0, live)
 
             st = dict(st, more=more, live=live, overflow=overflow,
-                      codeN=codeN, codeW=codeW, banchor=banchor,
+                      mstopN=msN, mb4N=mbN, ma4N=maN,
+                      mstopW=msW, mb4W=mbW, ma4W=maW, banchor=banchor,
                       kanchor=kanchor,
                       stall_reload=jnp.zeros_like(live),
                       stall_rest=jnp.zeros_like(live),
