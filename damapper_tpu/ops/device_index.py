@@ -22,6 +22,19 @@ with the host path (ops.kmers.sort_kmers / ops.seeds.match_seeds):
    algebra and sorts by (aread, bread, apos) with a stable 3-key lax.sort.
    Emission order (a-entries in index order x b-entries in index order)
    matches the reference exactly, so stable-sort ties land identically.
+ * The sort payload is ONE int32 plane: the k-mer window's global sequence
+   position (unique, so it doubles as the stability tie-break key).  The
+   (read, rpos) pair the reference carries through its radix passes
+   (map.c:231-259) is derived only at hit emission, from a searchsorted
+   over the tiny read-offset table — index-build sort traffic drops from
+   five operand arrays to three.
+ * The complement-strand index never touches the host: comp codes are the
+   elementwise reverse-complement of the forward codes (2-bit-group bit
+   reversal + XOR), comp positions are the elementwise in-read mirror of
+   the forward positions, and window validity is orientation-invariant
+   (a mirrored window covers the mirrored base set).  One sequence upload
+   serves both orientations, replacing Complement_DB + a second build
+   (damapper.c:433-525, map.c:2966-2990).
 
 Shapes are bucketed (next power-of-two style padding) so each distinct
 compiled program is reused across blocks.
@@ -57,19 +70,27 @@ def _bucket(n: int, lo: int = 1 << 12) -> int:
 # ---------------------------------------------------------------------------
 
 
+#: positions >= this flag bit are invalid/culled entries (parked after all
+#: real entries in their sentinel-key group); real positions stay < 2^30
+#: because block sizes are bounded well below 1 Gbp
+_POS_INVALID = 1 << 30
+
+
 @dataclass
 class DeviceKmerIndex:
     """Sorted k-mer index resident on device (split-key layout).
 
-    hi/lo/read/rpos are padded device arrays of the same bucketed length;
-    entries [n:] are sentinel-keyed padding.  `n` is the number of live
-    (valid, uncluded) entries."""
+    hi/lo/pos are padded device arrays of the same bucketed length; entries
+    [n:] are sentinel-keyed padding.  `pos` is the k-mer window's global
+    start position in the block's sentinel sequence layout — (read, rpos)
+    derive from it and the `boffs` read-offset table on demand."""
 
     hi: jax.Array      # uint32[cap] sorted composite key, high plane
     lo: jax.Array      # uint32[cap] low plane
-    read: jax.Array    # int32[cap]
-    rpos: jax.Array    # int32[cap]
+    pos: jax.Array     # int32[cap] window global start (sorted payload)
     n: int
+    boffs: jax.Array   # int32[rcap] read start offsets (padding: cap-1)
+    kmer: int
 
     def __len__(self):
         return self.n
@@ -79,36 +100,74 @@ class DeviceKmerIndex:
         host chain path)."""
         hi = np.asarray(self.hi[: self.n]).astype(np.uint64)
         lo = np.asarray(self.lo[: self.n]).astype(np.uint64)
-        return KmerIndex((hi << np.uint64(32)) | lo,
-                         np.asarray(self.read[: self.n]),
-                         np.asarray(self.rpos[: self.n]))
+        pos = np.asarray(self.pos[: self.n])
+        boffs = np.asarray(self.boffs)
+        read = np.searchsorted(boffs, pos, side="right").astype(np.int32) - 1
+        rpos = pos - boffs[np.maximum(read, 0)] + (self.kmer - 1)
+        return KmerIndex((hi << np.uint64(32)) | lo, read,
+                         rpos.astype(np.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("kmer", "suppress"))
-def _build_index(seq, boffs, mask_bad, kmer: int, suppress: int):
+def _rev2bit32(v):
+    """Reverse the sixteen 2-bit groups of a uint32 (elementwise)."""
+    m2, m4 = jnp.uint32(0x33333333), jnp.uint32(0x0F0F0F0F)
+    m8 = jnp.uint32(0x00FF00FF)
+    v = ((v & m2) << 2) | ((v >> 2) & m2)
+    v = ((v & m4) << 4) | ((v >> 4) & m4)
+    v = ((v & m8) << 8) | ((v >> 8) & m8)
+    return (v << 16) | (v >> 16)
+
+
+def _revcomp_codes(hi, lo, kmer: int):
+    """Elementwise reverse-complement of split-plane 2k-bit codes.
+
+    The 64-bit code is (hi << 2*klo) | lo with only the low 2k bits used;
+    complement = XOR over every 2-bit base, reversal = 2-bit-group bit
+    reversal of the 64-bit word followed by a right shift to re-align."""
+    klo = min(kmer, 16)
+    khi = kmer - klo
+    if khi == 0:
+        c = lo ^ jnp.uint32((1 << (2 * kmer)) - 1)
+        r = _rev2bit32(c)
+        return jnp.zeros_like(hi), r >> (32 - 2 * kmer)
+    him = jnp.uint32(0xFFFFFFFF if khi == 16 else (1 << (2 * khi)) - 1)
+    rhi = _rev2bit32(lo ^ jnp.uint32(0xFFFFFFFF))   # top 32 of rev64
+    rlo = _rev2bit32(hi ^ him)                      # low 32 of rev64
+    s = 32 - 2 * khi                                # 64 - 2k
+    if s:
+        new_lo = (rlo >> s) | (rhi << (32 - s))
+        new_hi = rhi >> s
+    else:
+        new_lo, new_hi = rlo, rhi
+    return new_hi, new_lo
+
+
+@functools.partial(jax.jit, static_argnames=("kmer", "suppress", "comp"))
+def _build_index(seq, boffs, eoffs, mask_bad, kmer: int, suppress: int,
+                 comp: bool):
     """Jitted index build over a padded sequence array.
 
-    seq:      uint8[L] numeric bases with 4-sentinels (padding is sentinel)
+    seq:      uint8[L] numeric bases with 4-sentinels (padding is sentinel),
+              ALWAYS the forward strand — comp=True derives the
+              complement-strand index elementwise (revcomp codes + mirrored
+              positions), bit-exact with building over Complement_DB output
     boffs:    int32[R] read start offsets (R = padded read count; padding
               entries repeat L-1)
+    eoffs:    int32[R] read end offsets boff+rlen (padding: L-1)
     mask_bad: uint8[L] extra bad positions (soft-mask intervals), or a
               zero-length array when the DB has no mask tracks
 
-    The per-position read id / read start / validity maps are derived on
-    device (a scatter + cumsum), so the only O(L) host->device transfer is
-    the sequence itself.
+    The sort carries (hi, lo, pos): pos is unique, so using it as the
+    third sort key IS the stable order, and it parks invalid/culled
+    entries (pos |= _POS_INVALID) after every real entry of the same key.
     """
     L = seq.shape[0]
     n = L - kmer + 1
     s = seq.astype(jnp.uint32)
+    idx = jnp.arange(n, dtype=jnp.int32)
 
-    # per-position read id and read start offset from the read starts
-    marks = jnp.zeros(L, jnp.int32).at[boffs].add(1)
-    read_of = jnp.cumsum(marks) - 1
-    starts = jnp.zeros(L, jnp.int32).at[boffs].max(boffs)
-    boff_of = jax.lax.cummax(starts)
-
-    # validity: zero bad positions in the window (prefix-sum differencing)
+    # validity: zero bad positions in the window (prefix-sum differencing).
+    # Orientation-invariant: the mirrored window covers the mirrored bases.
     bad = (seq >= 4).astype(jnp.int32)
     if mask_bad.shape[0]:
         bad = bad | mask_bad.astype(jnp.int32)
@@ -125,43 +184,43 @@ def _build_index(seq, boffs, mask_bad, kmer: int, suppress: int):
     for x in range(khi):
         hi = (hi << 2) | lax.dynamic_slice(s, (x,), (n,))
 
+    if comp:
+        hi, lo = _revcomp_codes(hi, lo, kmer)
+        # in-read mirror of the window start: x' = boff + end - k - x.
+        # boff/end maps by position via value-marked cummax scans (marks
+        # are increasing, so cummax holds the current read's value)
+        starts = jnp.zeros(L, jnp.int32).at[boffs].max(boffs)
+        boff_of = lax.cummax(starts)[:n]
+        emarks = jnp.zeros(L, jnp.int32).at[boffs].max(eoffs)
+        end_of = lax.cummax(emarks)[:n]
+        pos = boff_of + end_of - kmer - idx
+    else:
+        pos = idx
+
     sent = jnp.uint32(0xFFFFFFFF)
     hi = jnp.where(valid, hi, sent)
     lo = jnp.where(valid, lo, sent)
-    read = jnp.where(valid, read_of[:n], 0)
-    rpos = jnp.where(valid, jnp.arange(n, dtype=jnp.int32)
-                     - boff_of[:n] + (kmer - 1), 0)
+    pos = jnp.where(valid, pos, idx | _POS_INVALID)
 
-    if kmer == 32:
-        # only at k=32 can a real code (T^32) equal the all-ones sentinel:
-        # a third sort key parks invalid entries after the real ones while
-        # keeping position order within each (hi, lo, flag) run
-        inv = (~valid).astype(jnp.uint32)
-        hi, lo, inv, read, rpos = lax.sort((hi, lo, inv, read, rpos),
-                                           num_keys=3, is_stable=True)
-    else:
-        hi, lo, read, rpos = lax.sort((hi, lo, read, rpos), num_keys=2,
-                                      is_stable=True)
+    # pos is unique: 3-key sort == stable 2-key sort, and real entries
+    # (pos < _POS_INVALID) precede invalid ones within a sentinel-code
+    # group (the k=32 T^32 collision case, map.c:536-543)
+    hi, lo, pos = lax.sort((hi, lo, pos), num_keys=3)
     nvalid = jnp.sum(valid.astype(jnp.int32))
 
     if suppress:
         # drop k-mers with multiplicity >= suppress (strict <, map.c:604):
-        # re-key culled entries to the sentinel and re-sort (stable), the
-        # device analog of the compress pass (map.c:613-636).  Group sizes
-        # come from self-searchsorted (no scatter: TPU scatters serialize)
+        # re-key culled entries to the sentinel and re-sort, the device
+        # analog of the compress pass (map.c:613-636).  Group sizes come
+        # from boundary scans (no scatter: TPU scatters serialize)
         gl, gr = _self_ranges(hi, lo)
         counts = gr - gl
         live = jnp.arange(n, dtype=jnp.int32) < nvalid
         keep = (counts < suppress) & live
         hi = jnp.where(keep, hi, sent)
         lo = jnp.where(keep, lo, sent)
-        read = jnp.where(keep, read, 0)
-        rpos = jnp.where(keep, rpos, 0)
-        # third key: culled entries re-keyed to the sentinel must sort
-        # after any real sentinel-valued code (T^16.. at k=32)
-        cull = (~keep).astype(jnp.uint32)
-        hi, lo, cull, read, rpos = lax.sort((hi, lo, cull, read, rpos),
-                                            num_keys=3, is_stable=True)
+        pos = jnp.where(keep, pos, pos | _POS_INVALID)
+        hi, lo, pos = lax.sort((hi, lo, pos), num_keys=3)
         nvalid = jnp.sum(keep.astype(jnp.int32))
 
     # pad back to the bucketed capacity L (kmer-1 sentinel entries): keeps
@@ -170,9 +229,9 @@ def _build_index(seq, boffs, mask_bad, kmer: int, suppress: int):
     if pad:
         hi = jnp.concatenate([hi, jnp.full(pad, sent, jnp.uint32)])
         lo = jnp.concatenate([lo, jnp.full(pad, sent, jnp.uint32)])
-        read = jnp.concatenate([read, jnp.zeros(pad, jnp.int32)])
-        rpos = jnp.concatenate([rpos, jnp.zeros(pad, jnp.int32)])
-    return hi, lo, read, rpos, nvalid
+        pos = jnp.concatenate(
+            [pos, (jnp.arange(n, L, dtype=jnp.int32)) | _POS_INVALID])
+    return hi, lo, pos, nvalid
 
 
 def _mask_bad(db, cap: int) -> np.ndarray:
@@ -188,28 +247,43 @@ def _mask_bad(db, cap: int) -> np.ndarray:
     return bad
 
 
-def device_sort_kmers(db, kmer: int, suppress: int = 0) -> DeviceKmerIndex:
-    """Build the sorted, culled k-mer index of a loaded block on device
-    (Sort_Kmers map.c:655 equivalent; bit-exact with kmers.sort_kmers).
-    The only O(L) upload is the sequence; position/validity maps derive
-    on device."""
+def device_upload_seq(db) -> jax.Array:
+    """Upload a loaded block's sentinel sequence once, bucket-padded;
+    reusable across orientations and k choices of device_sort_kmers."""
     assert db.seq is not None, "db.load_bases() first"
-    assert kmer <= 32
     L = len(db.seq)
     cap = _bucket(L)
     seq = np.full(cap, 4, np.uint8)
     seq[:L] = db.seq
+    return jnp.asarray(seq)
+
+
+def device_sort_kmers(db, kmer: int, suppress: int = 0, comp: bool = False,
+                      seq_dev: jax.Array | None = None) -> DeviceKmerIndex:
+    """Build the sorted, culled k-mer index of a loaded block on device
+    (Sort_Kmers map.c:655 equivalent; bit-exact with kmers.sort_kmers).
+    The only O(L) upload is the (forward) sequence; comp=True derives the
+    complement-strand index from the same upload — `db` must NOT be
+    complement_inplace()'d for it."""
+    assert db.seq is not None, "db.load_bases() first"
+    assert kmer <= 32
+    if seq_dev is None:
+        seq_dev = device_upload_seq(db)
+    cap = seq_dev.shape[0]
     # read-count padded to a small bucket (repeat a trailing-sentinel
     # position) so compile variants stay bounded
     rcap = _bucket(db.nreads, lo=1 << 8)
     boffs = np.full(rcap, cap - 1, np.int32)
     boffs[:db.nreads] = db.reads["boff"]
+    eoffs = np.full(rcap, cap - 1, np.int32)
+    eoffs[:db.nreads] = (db.reads["boff"] + db.reads["rlen"]).astype(np.int64)
     mb = _mask_bad(db, cap) if db.tracks else np.zeros(0, np.uint8)
 
-    hi, lo, read, rpos, nvalid = _build_index(
-        jnp.asarray(seq), jnp.asarray(boffs), jnp.asarray(mb), kmer,
-        suppress)
-    return DeviceKmerIndex(hi, lo, read, rpos, int(nvalid))
+    boffs_dev = jnp.asarray(boffs)
+    hi, lo, pos, nvalid = _build_index(
+        seq_dev, boffs_dev, jnp.asarray(eoffs), jnp.asarray(mb), kmer,
+        suppress, comp)
+    return DeviceKmerIndex(hi, lo, pos, int(nvalid), boffs_dev, kmer)
 
 
 # ---------------------------------------------------------------------------
@@ -281,8 +355,16 @@ def _searchsorted2(khi, klo, qhi, qlo, side: str):
     return lo
 
 
+def _pos_to_read_rpos(p, boffs, kmer: int):
+    """(read, rpos) of global window-start positions via the tiny sorted
+    read-offset table (a log2(R) binary search, table-resident gathers)."""
+    r = jnp.searchsorted(boffs, p, side="right").astype(jnp.int32) - 1
+    r = jnp.maximum(r, 0)
+    return r, p - boffs[r] + (kmer - 1)
+
+
 @functools.partial(jax.jit, static_argnames=("use_gram",))
-def _match_count(ahi, alo, aread, arpos, bhi, blo, an, bn, use_gram: bool):
+def _match_count(ahi, alo, bhi, blo, an, bn, use_gram: bool):
     """Pass 1: per-a-entry b-ranges, per-group totals, hit histogram and
     the total emitted-hit count (before the -M cap)."""
     n = ahi.shape[0]
@@ -347,10 +429,12 @@ def _match_emit_prep(cb, ct, limit):
     return sel, cum, total
 
 
-@functools.partial(jax.jit, static_argnames=("ncap",))
-def _match_emit(aread, arpos, bread, brpos, b_lo, cum, ncap: int):
+@functools.partial(jax.jit, static_argnames=("ncap", "akmer", "bkmer"))
+def _match_emit(a_pos, aboffs, b_pos, bboffs, b_lo, cum, ncap: int,
+                akmer: int, bkmer: int):
     """Pass 2: emit hits into an ncap-padded buffer and sort by
-    (aread, bread, apos), stable."""
+    (aread, bread, apos), stable.  (read, rpos) derive from the gathered
+    window positions only at the emitted rows."""
     t = jnp.arange(ncap, dtype=jnp.int32)
     total = cum[-1]
     # a_row = first row whose inclusive cumsum exceeds t
@@ -362,11 +446,13 @@ def _match_emit(aread, arpos, bread, brpos, b_lo, cum, ncap: int):
 
     pad = t >= total
     big = jnp.int32(0x7FFFFFFF)
-    ar = jnp.where(pad, big, aread[a_row])
-    ap = jnp.where(pad, 0, arpos[a_row])
-    br = jnp.where(pad, 0, bread[jnp.minimum(b_row, bread.shape[0] - 1)])
-    dg = jnp.where(pad, 0,
-                   ap - brpos[jnp.minimum(b_row, brpos.shape[0] - 1)])
+    ar, ap = _pos_to_read_rpos(a_pos[a_row], aboffs, akmer)
+    br, bp = _pos_to_read_rpos(
+        b_pos[jnp.minimum(b_row, b_pos.shape[0] - 1)], bboffs, bkmer)
+    dg = jnp.where(pad, 0, ap - bp)
+    ar = jnp.where(pad, big, ar)
+    ap = jnp.where(pad, 0, ap)
+    br = jnp.where(pad, 0, br)
     ar, br, ap, dg = lax.sort((ar, br, ap, dg), num_keys=3, is_stable=True)
     # one stacked buffer -> one host pull (the tunnel pays ~26ms latency
     # per transfer)
@@ -381,8 +467,7 @@ def device_match_seeds(aidx: DeviceKmerIndex, bidx: DeviceKmerIndex,
     if aidx.n == 0 or bidx.n == 0:
         return empty
 
-    b_lo, cb, ct, gram = _match_count(aidx.hi, aidx.lo, aidx.read, aidx.rpos,
-                                      bidx.hi, bidx.lo,
+    b_lo, cb, ct, gram = _match_count(aidx.hi, aidx.lo, bidx.hi, bidx.lo,
                                       jnp.int32(aidx.n), jnp.int32(bidx.n),
                                       mem_limit > 0)
     if mem_limit > 0:
@@ -402,8 +487,9 @@ def device_match_seeds(aidx: DeviceKmerIndex, bidx: DeviceKmerIndex,
     if total == 0:
         return empty
     ncap = _bucket(total)
-    packed = np.asarray(_match_emit(aidx.read, aidx.rpos, bidx.read,
-                                    bidx.rpos, b_lo, cum, ncap))
+    packed = np.asarray(_match_emit(aidx.pos, aidx.boffs, bidx.pos,
+                                    bidx.boffs, b_lo, cum, ncap,
+                                    aidx.kmer, bidx.kmer))
     return SeedHits(packed[0, :total], packed[1, :total],
                     packed[2, :total], packed[3, :total])
 
@@ -430,9 +516,11 @@ def shard_index(idx: DeviceKmerIndex, mesh, axis: str) -> DeviceKmerIndex:
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
     return DeviceKmerIndex(
         jax.device_put(idx.hi, sh), jax.device_put(idx.lo, sh),
-        jax.device_put(idx.read, sh), jax.device_put(idx.rpos, sh), idx.n)
+        jax.device_put(idx.pos, sh), idx.n,
+        jax.device_put(idx.boffs, rep), idx.kmer)
 
 
 _SHARDED_CACHE: dict = {}
@@ -467,9 +555,9 @@ def _sharded_fns(mesh):
         in_specs=(P("dp"), P("dp"), P("ref"), P("ref"), P("ref")),
         out_specs=(P("dp"), P(("ref", "dp"))), check_vma=False))
 
-    def emit_factory(ncap: int):
-        def emit_local(sel, aread, arpos, ahi, alo, bhi, blo, bn_l,
-                       bread, brpos):
+    def emit_factory(ncap: int, akmer: int, bkmer: int):
+        def emit_local(sel, a_pos, aboffs, ahi, alo, bhi, blo, bn_l,
+                       b_pos, bboffs):
             # recompute local ranges (cheaper than shipping (nref, n) maps)
             b_lo, cb_l = _local_ranges(ahi, alo, bhi, blo, bn_l)
             take = jnp.where(sel, cb_l, 0)
@@ -483,11 +571,13 @@ def _sharded_fns(mesh):
             b_row = b_lo[a_row] + b_off
             pad = t >= total
             big = jnp.int32(0x7FFFFFFF)
-            ar = jnp.where(pad, big, aread[a_row])
-            ap = jnp.where(pad, 0, arpos[a_row])
-            bm = jnp.minimum(b_row, bread.shape[0] - 1)
-            br = jnp.where(pad, 0, bread[bm])
-            dg = jnp.where(pad, 0, ap - brpos[bm])
+            ar, ap = _pos_to_read_rpos(a_pos[a_row], aboffs, akmer)
+            bm = jnp.minimum(b_row, b_pos.shape[0] - 1)
+            br, bp = _pos_to_read_rpos(b_pos[bm], bboffs, bkmer)
+            dg = jnp.where(pad, 0, ap - bp)
+            ar = jnp.where(pad, big, ar)
+            ap = jnp.where(pad, 0, ap)
+            br = jnp.where(pad, 0, br)
             # tie-break planes for the global sort: ties in (aread, bread,
             # apos) are same-a-row hits whose reference order is ascending
             # b_row = (ref shard, local b_row) in shard-major order
@@ -499,8 +589,8 @@ def _sharded_fns(mesh):
         def emit_sorted(*args):
             ar, br, ap, t1, t2, dg = jax.shard_map(
                 emit_local, mesh=mesh,
-                in_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
-                          P("ref"), P("ref"), P("ref"), P("ref"), P("ref")),
+                in_specs=(P("dp"), P("dp"), P(), P("dp"), P("dp"),
+                          P("ref"), P("ref"), P("ref"), P("ref"), P()),
                 out_specs=(P(("dp", "ref")),) * 6, check_vma=False)(*args)
             # global stable sort: orders hits AND compacts pads to the end
             ar, br, ap, t1, t2, dg = lax.sort((ar, br, ap, t1, t2, dg),
@@ -578,9 +668,9 @@ def device_match_seeds_sharded(aidx: DeviceKmerIndex, bidx: DeviceKmerIndex,
             max_loc = max(max_loc, int(cbl[j, s][selv[s]].sum()))
     ncap = _bucket(max(1, max_loc))
 
-    emit = emit_factory(ncap)
-    ar, br, ap, dg = emit(sel, aidx.read, aidx.rpos, aidx.hi, aidx.lo,
+    emit = emit_factory(ncap, aidx.kmer, bidx.kmer)
+    ar, br, ap, dg = emit(sel, aidx.pos, aidx.boffs, aidx.hi, aidx.lo,
                           bidx.hi, bidx.lo, jnp.asarray(bn_l),
-                          bidx.read, bidx.rpos)
+                          bidx.pos, bidx.boffs)
     return SeedHits(np.asarray(ar[:total]), np.asarray(br[:total]),
                     np.asarray(ap[:total]), np.asarray(dg[:total]))

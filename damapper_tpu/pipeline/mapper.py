@@ -173,7 +173,8 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
     if use_device_index:
         from ..ops.device_index import (device_match_seeds,
                                         device_match_seeds_sharded,
-                                        device_sort_kmers, shard_index)
+                                        device_sort_kmers,
+                                        device_upload_seq, shard_index)
         bindex = device_sort_kmers(reads_db, cfg.kmer, cfg.suppress)
         if sharded_ix:
             bindex = shard_index(bindex, mesh, "dp")
@@ -207,13 +208,18 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
         use_sub = (sub_bases > 0 and cfg.suppress == 0
                    and ref_blk.totlen > 2 * sub_bases)
 
+        # one upload serves both orientations (the comp index derives
+        # elementwise on device; no Complement_DB pass, damapper.c:433-525)
+        ref_seq_dev = device_upload_seq(ref_blk) if use_device_index else None
         for comp in (0, 1):
-            if comp:
+            if comp and not use_device_index:
                 ref_blk.complement_inplace()
             db_bytes = reads_db.sizeof() + ref_blk.sizeof()
             _t = _time.time()
             if use_device_index:
-                aindex = device_sort_kmers(ref_blk, cfg.kmer, cfg.suppress)
+                aindex = device_sort_kmers(ref_blk, cfg.kmer, cfg.suppress,
+                                           comp=bool(comp),
+                                           seq_dev=ref_seq_dev)
                 if sharded_ix:
                     aindex = shard_index(aindex, mesh, "ref")
                 times["index"] += _time.time() - _t
@@ -263,8 +269,10 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
 
     if nblocks == 1:
         # block 1 IS the full DB: un-complement it (the orientation loop
-        # left it reversed) instead of re-decoding the whole .bps
-        ref_blk.complement_inplace()
+        # left it reversed — host index path only; the device comp index
+        # never touches the host copy) instead of re-decoding the .bps
+        if not use_device_index:
+            ref_blk.complement_inplace()
         ref_full = ref_blk
     else:
         ref_full = read_block(os.path.join(pwd, aroot_stub
