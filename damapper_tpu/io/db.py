@@ -697,8 +697,14 @@ def dbsplit(path: str, bsize: int | None = None, cutoff: int | None = None,
                 tblocks.append(tcount)
                 acc = 0
     if ublocks[-1] != len(reads):
-        ublocks.append(len(reads))
-        tblocks.append(tcount)
+        if tcount == tblocks[-1]:
+            # only cutoff-filtered reads trail the last closed block:
+            # extend it instead of emitting an empty trimmed block
+            # (DBsplit never writes a zero-read block)
+            ublocks[-1] = len(reads)
+        else:
+            ublocks.append(len(reads))
+            tblocks.append(tcount)
 
     stub.bsize = bsize
     stub.cutoff = cutoff

@@ -85,6 +85,14 @@ DBUFS = ("dbuf",)                          # (.., DBUF, 4) i32
 
 ORDER = BAND_I32 + BAND_U32 + BAND_MSK + SCALARS + PLANES + DBUFS
 
+# persistent-kernel variant (make_persistent_driver): the match planes are
+# 3D code planes REBUILT INSIDE the kernel (carried through the in-kernel
+# driver loop, never operands), and two extra per-lane scalars map global
+# sequence positions into the lane's VMEM-resident window
+PLANES3D = ("codeN", "codeW")              # (.., W, BW) i32
+PSCALARS = SCALARS + ("awst", "bwst", "oit")
+PORDER = BAND_I32 + BAND_U32 + BAND_MSK + PSCALARS + DBUFS
+
 
 def state_arrays(n, W, BW, DBUF):
     st = {}
@@ -109,10 +117,11 @@ def state_arrays(n, W, BW, DBUF):
 # ---------------------------------------------------------------------------
 
 
-def make_segment(W, BW, P, DBUF, reverse):
+def make_segment(W, BW, P, DBUF, reverse, planes3d=False):
     Wm = W - 1
     sgn = -1 if reverse else 1
     BIGC = np.int32(1 << 30)
+    plane_keys = PLANES3D if planes3d else PLANES
 
     def seg(st, ts, pave, msc, dsc):
         TS = ts
@@ -120,7 +129,7 @@ def make_segment(W, BW, P, DBUF, reverse):
         # the while carry (a carried (G, W, BW) buffer pair is ~0.5MB that
         # Mosaic would shuffle every iteration) and close over them instead
         st = dict(st)
-        _planes = {nm: st.pop(nm) for nm in PLANES}
+        _planes = {nm: st.pop(nm) for nm in plane_keys}
         # index vectors built in-trace (a pallas kernel cannot capture
         # closure arrays)
         slots1 = jax.lax.broadcasted_iota(i32, (1, W), 1)
@@ -266,49 +275,68 @@ def make_segment(W, BW, P, DBUF, reverse):
             stall_reload = jnp.where(sS & need_rl, 1, st["stall_reload"])
 
             oc = jnp.clip(o, 0, BW - 1)
-            # bitmask lookup: first stop column >= oc via word select +
-            # per-element shift + lowest-set-bit (all (G, W) elementwise;
-            # no (G, W, BW) tensors touch the kernel)
-            q0 = oc >> 5
-            b0 = (oc & 31).astype(u32)
-            wrapm = wrap
-            BWW = BW // 32
+            if planes3d:
+                # 3D code-plane lookup (persistent kernel: the planes are
+                # built in-kernel and carried, so the dense (G, W, BW) form
+                # is free of operand traffic; measured perf-equal to the
+                # bitmask form at G=8)
+                jm = jidx >= oc[:, :, None]
+                wrap3 = wrap.astype(i32)[:, :, None] != 0
+                csel = jnp.where(wrap3, _planes["codeW"], _planes["codeN"])
+                r = jnp.min(jnp.where(jm, csel, BIGC), axis=2)
+                found = r < BIGC
+                jstar = jnp.where(found, r >> 2, BW)
+                run = jstar - oc
+                nst = jnp.where(usable, jnp.minimum(run, SS), 0)
+                adv_done = usable & (run <= SS) & found
+                sbv = ((r >> 1) & 1) == 1
+                a4s = (r & 1) == 1
+                sb = adv_done & sbv
+                sa = adv_done & ~sbv & a4s
+            else:
+                # bitmask lookup: first stop column >= oc via word select +
+                # per-element shift + lowest-set-bit (all (G, W)
+                # elementwise; no (G, W, BW) tensors touch the kernel)
+                q0 = oc >> 5
+                b0 = (oc & 31).astype(u32)
+                wrapm = wrap
+                BWW = BW // 32
 
-            def word(nm_n, nm_w, q):
-                wn = _planes[nm_n][:, q * W:(q + 1) * W]
-                ww = _planes[nm_w][:, q * W:(q + 1) * W]
-                return jnp.where(wrapm, ww, wn)
+                def word(nm_n, nm_w, q):
+                    wn = _planes[nm_n][:, q * W:(q + 1) * W]
+                    ww = _planes[nm_w][:, q * W:(q + 1) * W]
+                    return jnp.where(wrapm, ww, wn)
 
-            BIGJ = i32(BW + 64)
-            jstar = jnp.full_like(oc, BIGJ)
-            for q in range(BWW):
-                wq = word("mstopN", "mstopW", q)
-                # keep only bits >= b0 in the word containing oc; whole
-                # word beyond it; nothing before it
-                keep = jnp.where(q0 == q, wq >> b0 << b0,
-                                 jnp.where(q0 < q, wq, u32(0)))
-                lowbit = keep & (~keep + u32(1))
-                ctz = jax.lax.population_count(
-                    lowbit - u32(1)).astype(i32)
-                cand = jnp.where(keep != 0, q * 32 + ctz, BIGJ)
-                jstar = jnp.minimum(jstar, cand)
-            found = jstar < BIGJ
-            jstar = jnp.where(found, jstar, BW)
-            run = jstar - oc
-            nst = jnp.where(usable, jnp.minimum(run, SS), 0)
-            adv_done = usable & (run <= SS) & found
-            # stop-cause flags read from the flag masks at column jstar
-            jq = jnp.clip(jstar >> 5, 0, BWW - 1)
-            jb = (jstar & 31).astype(u32)
-            b4w = word("mb4N", "mb4W", 0)
-            a4w = word("ma4N", "ma4W", 0)
-            for q in range(1, BWW):
-                b4w = jnp.where(jq == q, word("mb4N", "mb4W", q), b4w)
-                a4w = jnp.where(jq == q, word("ma4N", "ma4W", q), a4w)
-            sbv = ((b4w >> jb) & u32(1)) == 1
-            a4s = ((a4w >> jb) & u32(1)) == 1
-            sb = adv_done & sbv
-            sa = adv_done & ~sbv & a4s
+                BIGJ = i32(BW + 64)
+                jstar = jnp.full_like(oc, BIGJ)
+                for q in range(BWW):
+                    wq = word("mstopN", "mstopW", q)
+                    # keep only bits >= b0 in the word containing oc; whole
+                    # word beyond it; nothing before it
+                    keep = jnp.where(q0 == q, wq >> b0 << b0,
+                                     jnp.where(q0 < q, wq, u32(0)))
+                    lowbit = keep & (~keep + u32(1))
+                    ctz = jax.lax.population_count(
+                        lowbit - u32(1)).astype(i32)
+                    cand = jnp.where(keep != 0, q * 32 + ctz, BIGJ)
+                    jstar = jnp.minimum(jstar, cand)
+                found = jstar < BIGJ
+                jstar = jnp.where(found, jstar, BW)
+                run = jstar - oc
+                nst = jnp.where(usable, jnp.minimum(run, SS), 0)
+                adv_done = usable & (run <= SS) & found
+                # stop-cause flags read from the flag masks at column jstar
+                jq = jnp.clip(jstar >> 5, 0, BWW - 1)
+                jb = (jstar & 31).astype(u32)
+                b4w = word("mb4N", "mb4W", 0)
+                a4w = word("ma4N", "ma4W", 0)
+                for q in range(1, BWW):
+                    b4w = jnp.where(jq == q, word("mb4N", "mb4W", q), b4w)
+                    a4w = jnp.where(jq == q, word("ma4N", "ma4W", q), a4w)
+                sbv = ((b4w >> jb) & u32(1)) == 1
+                a4s = ((a4w >> jb) & u32(1)) == 1
+                sb = adv_done & sbv
+                sa = adv_done & ~sbv & a4s
 
             nu = nst.astype(u32)
             ext = (sthi >> (29 - nu)) & ((u32(1) << nu) - 1)
@@ -1076,6 +1104,437 @@ def make_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
     return driver
 
 
+# ---------------------------------------------------------------------------
+# persistent driver: the reload loop lives INSIDE the kernel.
+#
+# The classic driver above pays a fixed per-iteration cost (Mosaic custom
+# call dispatch + the XLA-side window gather/plane build) ~50 times per
+# batch.  The persistent variant passes each lane's whole sequence
+# neighbourhood into VMEM once ((B, L/128, 128) i32 operands, pre-flipped
+# for the reverse wave so the kernel only ever slices forward) and performs
+# the plane reload, the REACH rest byte test, and the drop-buffer guard
+# inside the kernel.  The kernel then exits only when every lane is dead or
+# its drop buffer is full, so the XLA loop typically runs 1-3 iterations.
+#
+# Every Mosaic-hostile op is avoided by construction: window slices are a
+# sublane-dynamic `dynamic_slice` + static lane rolls (no lane-dim dynamic
+# ops), the shifted a-window matrix is built with log-doubling static rolls
+# over a 3D broadcast, and the match planes use the dense 3D code-plane
+# form (carried in the in-kernel loop, never operands).  Window misses and
+# global boundary clips set `bad` exactly like make_reload, so any lane the
+# window cannot serve overflows into the bit-exact host-oracle fallback.
+# ---------------------------------------------------------------------------
+
+MARGIN = 512          # window slack each side of the seed span
+
+
+def _pow2ceil(x):
+    return 1 << (int(x) - 1).bit_length()
+
+
+def _win_slice(seq3, off, nwords):
+    """(1, nwords*128) window of a lane's (R, 128) sequence at element
+    offset `off` (pre-clamped by the caller to [0, R*128 - nwords*128])."""
+    R = seq3.shape[0]
+    c0 = jnp.clip(off // 128, 0, R - (nwords + 2))
+    r = off - c0 * 128                       # 0..256
+    coarse = jax.lax.dynamic_slice(seq3, (c0, 0), (nwords + 2, 128))
+    row = jnp.concatenate([coarse[s:s + 1] for s in range(nwords + 2)],
+                          axis=1)            # (1, (nwords+2)*128)
+    for j in range(9):                       # lane roll left by r (<= 256)
+        row = jnp.where((r >> j) & 1 == 1,
+                        jnp.roll(row, -(1 << j), axis=1), row)
+    return row[:, :nwords * 128]
+
+
+def _byte_at(seq3, loc):
+    """Scalar element of a lane's (R, 128) sequence at element index `loc`
+    (pre-clamped to [0, R*128-1])."""
+    c0 = jnp.clip(loc // 128, 0, seq3.shape[0] - 1)
+    row = jax.lax.dynamic_slice(seq3, (c0, 0), (1, 128))
+    l = loc - c0 * 128
+    lane = jax.lax.broadcasted_iota(i32, (1, 128), 1)
+    return jnp.sum(jnp.where(lane == l, row, 0))
+
+
+def make_persistent_kernel(W, P, BW, DBUF, G, reverse, maxit=0):
+    """In-kernel driver loop: rest-resolve -> plane reload -> segment,
+    until every lane is dead or dbuf-stalled.  Pure jnp over (G, ...)
+    arrays; runs identically under plain XLA (vmap lane loop) and inside
+    the pallas kernel (unrolled lane loop)."""
+    assert BW % 128 == 0 and (2 * W) % 128 == 0
+    seg = make_segment(W, BW, P, DBUF, reverse, planes3d=True)
+    soff = -1 if reverse else 0
+    AW = BW + 2 * W
+    sgn = -1 if reverse else 1
+    BIGC = np.int32(1 << 30)    # np scalar: a jnp 0-d would be a captured
+    #                             constant, which pallas kernels reject
+
+    def kernel_fn(st, aseq3, bseq3, LA, LB, ts, pave, msc, dsc,
+                  unroll_lanes):
+        G_ = st["V"].shape[0]
+        Lwa = aseq3.shape[-2] * 128
+        Lwb = bseq3.shape[-2] * 128
+        jidxr = jax.lax.broadcasted_iota(i32, (1, 1, BW), 2)
+        # per-slot left-shift amounts of the a-window matrix (make_reload
+        # offs), built as iotas: a pallas kernel cannot capture closures
+        siota3 = jax.lax.broadcasted_iota(i32, (1, W, 1), 1)
+        rowbits = (siota3 if not reverse
+                   else jnp.where(siota3 == 0, W, W - siota3))
+        slots1 = jax.lax.broadcasted_iota(i32, (1, W), 1)
+
+        def lane_windows(aseq3_g, bseq3_g, las, lbs, ga_loc, gb_loc):
+            """Per-lane: a/b reload windows + the two REST bytes."""
+            awin = _win_slice(aseq3_g, las, AW // 128)
+            bwin = _win_slice(bseq3_g, lbs, BW // 128)
+            ach = _byte_at(aseq3_g, ga_loc)
+            bch = _byte_at(bseq3_g, gb_loc)
+            return awin[0], bwin[0], ach, bch
+
+        def ocond(c):
+            st = c
+            runnable = (st["live"] == 1) & (st["stall_dbuf"] == 0)
+            go = runnable.any()
+            # per-launch safety bound: the state is consistent at every
+            # obody boundary, so capping the in-kernel loop just costs an
+            # extra relaunch — it can never corrupt a lane.  Normal batches
+            # run ~50 iterations; the cap only matters if a lowering bug
+            # livelocks a lane (the driver then falls back after MAX_LAUNCH
+            # relaunches instead of wedging the TPU worker).  oit carries
+            # across launches, so bound the in-launch delta via _oit0.
+            cap = maxit if maxit else 4096
+            go = go & (jnp.max(st["oit"] - st["_oit0"]) < cap)
+            return go
+
+        def obody(c):
+            st = c
+            st = dict(st, oit=st["oit"] + 1)
+
+            # ---- REACH rest resolution (driver transplant) ----
+            sr = st["stall_rest"] == 1
+            yb = st["besty"]
+            xb = st["besta"] - yb
+            gb = jnp.clip(st["bbase"] + yb + soff, 0, LB - 1)
+            ga = jnp.clip(st["abase"] + xb + soff, 0, LA - 1)
+            if not reverse:
+                ga_loc = ga - st["awst"]
+                gb_loc = gb - st["bwst"]
+            else:
+                ga_loc = st["awst"] + Lwa - 1 - ga
+                gb_loc = st["bwst"] + Lwb - 1 - gb
+            rest_miss = sr & ((ga_loc < 0) | (ga_loc >= Lwa) |
+                              (gb_loc < 0) | (gb_loc >= Lwb))
+            ga_loc = jnp.clip(ga_loc, 0, Lwa - 1)
+            gb_loc = jnp.clip(gb_loc, 0, Lwb - 1)
+
+            # ---- plane reload anchors (driver transplant) ----
+            act = st["sact"] == 1
+            inph = (st["phase"] == 1)[:, None]
+            fillv = INT32_MAX if not reverse else -INT32_MAX
+            kk = st["low"][:, None] + jnp.remainder(
+                slots1 - st["low"][:, None], W)
+            inb = kk <= st["hgh"][:, None]
+            vvalid = inb & (st["V"] != (INT32_MAX if reverse else NEG_BIG))
+            yact = jnp.where(inph & act, st["sy"], fillv)
+            yv = jnp.where(vvalid, (st["V"] - kk) >> 1, fillv)
+            have_act = (inph & act).any(axis=1)
+            if not reverse:
+                yref = jnp.where(have_act, jnp.min(yact, axis=1),
+                                 jnp.min(yv, axis=1))
+            else:
+                yref = jnp.where(have_act, jnp.max(yact, axis=1),
+                                 jnp.max(yv, axis=1))
+
+            # ---- window-coordinate reload (make_reload transplant) ----
+            if not reverse:
+                banchor0 = st["bbase"] + (yref - 4) + soff
+                kanchor = W * (st["low"] // W)
+                astart = banchor0 + (st["abase"] - st["bbase"]) + kanchor
+                bs = jnp.clip(banchor0, 0, LB - BW)
+                as_ = jnp.clip(astart, 0, LA - AW)
+                gbad = (bs != banchor0) | (as_ != astart)
+                lbs = bs - st["bwst"]
+                las = as_ - st["awst"]
+                banchor = bs
+            else:
+                banchor0 = st["bbase"] + (yref + 4) + soff
+                kanchor = W * ((st["hgh"] + W) // W)
+                atop = banchor0 + (st["abase"] - st["bbase"]) + kanchor
+                bs = jnp.clip(banchor0 - (BW - 1), 0, LB - BW)
+                as_ = jnp.clip(atop - (AW - 1), 0, LA - AW)
+                gbad = (bs != banchor0 - (BW - 1)) | \
+                       (as_ != atop - (AW - 1))
+                lbs = st["bwst"] + Lwb - BW - bs
+                las = st["awst"] + Lwa - AW - as_
+                banchor = bs + (BW - 1)
+            wmiss = (lbs < 0) | (lbs > Lwb - BW) | \
+                    (las < 0) | (las > Lwa - AW)
+            lbs = jnp.clip(lbs, 0, Lwb - BW)
+            las = jnp.clip(las, 0, Lwa - AW)
+
+            if unroll_lanes:
+                parts = [lane_windows(aseq3[g], bseq3[g], las[g], lbs[g],
+                                      ga_loc[g], gb_loc[g])
+                         for g in range(G_)]
+                awin = jnp.concatenate(
+                    [p[0][None] for p in parts], axis=0)
+                bwin = jnp.concatenate(
+                    [p[1][None] for p in parts], axis=0)
+                ach = jnp.stack([p[2] for p in parts])
+                bch = jnp.stack([p[3] for p in parts])
+            else:
+                awin, bwin, ach, bch = jax.vmap(lane_windows)(
+                    aseq3, bseq3, las, lbs, ga_loc, gb_loc)
+
+            # ---- finish the rest resolution with the fetched bytes ----
+            rest = (bch != 4) & (ach != 4)
+            if reverse:
+                go = st["lasta"] <= st["besta"] + TRIM_MLAG
+            else:
+                go = st["lasta"] >= st["besta"] - TRIM_MLAG
+            more = jnp.where(sr, rest.astype(i32), st["more"])
+            live = jnp.where(
+                sr, (rest & go & (st["overflow"] == 0)).astype(i32),
+                st["live"])
+            overflow = jnp.where(rest_miss, 1, st["overflow"])
+            live = jnp.where(rest_miss, 0, live)
+
+            anyact = live == 1
+            bad = anyact & (gbad | wmiss)
+            overflow = jnp.where(bad, 1, overflow)
+            live = jnp.where(bad, 0, live)
+
+            # ---- build the 3D code planes from the fetched windows ----
+            aw2 = jnp.broadcast_to(awin[:, None, :], (G_, W, AW))
+            for j in range(7):
+                stepm = (rowbits >> j) & 1 == 1
+                aw2 = jnp.where(stepm, jnp.roll(aw2, -(1 << j), axis=2),
+                                aw2)
+            awN = aw2[:, :, :BW]
+            awW = aw2[:, :, W:W + BW]
+            b4 = (bwin == 4)[:, None, :]
+            b4i = b4.astype(i32)
+
+            def code(aw):
+                stop = b4 | (bwin[:, None, :] != aw)
+                val = ((jidxr << 2) | (b4i << 1) | (aw == 4).astype(i32))
+                return jnp.where(stop, val, BIGC)
+
+            st = dict(st, more=more, live=live, overflow=overflow,
+                      codeN=code(awN), codeW=code(awW),
+                      banchor=banchor, kanchor=kanchor,
+                      stall_reload=jnp.zeros_like(live),
+                      stall_rest=jnp.zeros_like(live))
+
+            st = seg(st, ts, pave, msc, dsc)
+            return st
+
+        st = dict(st,
+                  codeN=jnp.zeros((G_, W, BW), i32),
+                  codeW=jnp.zeros((G_, W, BW), i32),
+                  _oit0=st["oit"])
+        st = jax.lax.while_loop(ocond, obody, st)
+        st.pop("codeN")
+        st.pop("codeW")
+        st.pop("_oit0")
+        return st
+
+    return kernel_fn
+
+
+def make_persistent_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
+                           interpret=False):
+    """prologue -> [persistent kernel; flush drop buffers]* -> outputs.
+    The XLA loop body runs only when a lane's drop buffer filled (DBUF is
+    sized so that is rare): typically ONE kernel launch per batch."""
+    prologue = make_prologue(W, P, BW, DBUF, reverse)
+    _maxit = int(os.environ.get("DAMAPPER_PALLAS_MAXIT", 0))
+    kfn = make_persistent_kernel(W, P, BW, DBUF, G, reverse, maxit=_maxit)
+
+    def kernel_xla(st, aseq3, bseq3, LA, LB, ts, pave, msc, dsc):
+        return kfn(st, aseq3, bseq3, LA, LB, ts, pave, msc, dsc,
+                   unroll_lanes=False)
+
+    def kernel_pallas(st, aseq3, bseq3, LA, LB, ts, pave, msc, dsc):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        B = st["V"].shape[0]
+        Gm = min(G, B)
+        names = list(PORDER)
+        consts = jnp.stack([ts, pave, msc, dsc, LA, LB]).astype(i32)
+
+        def arg(nm):
+            return st[nm][:, None] if nm in PSCALARS else st[nm]
+
+        def kernel(*refs):
+            ins = refs[:len(names) + 3]
+            outs = refs[len(names) + 3:]
+            stk = {}
+            for ix, nm in enumerate(names):
+                v = ins[ix][...]
+                stk[nm] = v[:, 0] if nm in PSCALARS else v
+            a3 = ins[len(names)][...]
+            b3 = ins[len(names) + 1][...]
+            cns = ins[len(names) + 2][...]
+            res = kfn(stk, a3, b3, cns[0, 4], cns[0, 5], cns[0, 0],
+                      cns[0, 1], cns[0, 2], cns[0, 3], unroll_lanes=True)
+            for ix, nm in enumerate(names):
+                outs[ix][...] = (res[nm][:, None] if nm in PSCALARS
+                                 else res[nm])
+
+        def bspec(nm):
+            shp = st[nm].shape[1:]
+            if nm in PSCALARS:
+                return pl.BlockSpec((Gm, 1), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+            if len(shp) == 1:
+                return pl.BlockSpec((Gm, shp[0]), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+            return pl.BlockSpec((Gm,) + shp, lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        in_specs = [bspec(nm) for nm in names]
+        in_specs.append(pl.BlockSpec((Gm,) + aseq3.shape[1:],
+                                     lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((Gm,) + bseq3.shape[1:],
+                                     lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, 6), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
+        def oshape(nm):
+            if nm in PSCALARS:
+                return jax.ShapeDtypeStruct((B, 1), st[nm].dtype)
+            return jax.ShapeDtypeStruct(st[nm].shape, st[nm].dtype)
+
+        outs = pl.pallas_call(
+            kernel,
+            grid=(B // Gm,),
+            in_specs=in_specs,
+            out_specs=tuple(bspec(nm) for nm in names),
+            out_shape=tuple(oshape(nm) for nm in names),
+            input_output_aliases={ix: ix for ix in range(len(names))},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(*([arg(nm) for nm in names] + [aseq3, bseq3, consts[None, :]]))
+        res = {}
+        for nm, v in zip(names, outs):
+            res[nm] = v[:, 0] if nm in PSCALARS else v
+        return res
+
+    kernel = kernel_pallas if use_pallas else kernel_xla
+
+    def make(L):
+        """Driver specialised to a window-length bucket L (static)."""
+
+        def driver(abase, bbase, mida, k0, aoffp, boffp, awst, bwst,
+                   Aflat, Bflat, ts, pave, msc, dsc):
+            LA = i32(Aflat.shape[0])
+            LB = i32(Bflat.shape[0])
+            Apad = (Aflat if Aflat.shape[0] >= L
+                    else jnp.pad(Aflat, (0, L - Aflat.shape[0]),
+                                 constant_values=4))
+            Bpad = (Bflat if Bflat.shape[0] >= L
+                    else jnp.pad(Bflat, (0, L - Bflat.shape[0]),
+                                 constant_values=4))
+            va = jax.vmap(
+                lambda st_: jax.lax.dynamic_slice(Apad, (st_,), (L,))
+            )(awst)
+            vb = jax.vmap(
+                lambda st_: jax.lax.dynamic_slice(Bpad, (st_,), (L,))
+            )(bwst)
+            if reverse:
+                va = jnp.flip(va, axis=1)
+                vb = jnp.flip(vb, axis=1)
+            B_ = va.shape[0]
+            aseq3 = va.reshape(B_, L // 128, 128).astype(i32)
+            bseq3 = vb.reshape(B_, L // 128, 128).astype(i32)
+
+            st1, pool = jax.vmap(
+                prologue, in_axes=(0, 0, 0, 0, 0, 0, None, None, None)
+            )(abase, bbase, mida, k0, aoffp, boffp, Aflat, Bflat, ts)
+            for nm in PLANES:
+                st1.pop(nm)
+            st1 = dict(st1, awst=awst, bwst=bwst,
+                       oit=jnp.zeros_like(awst))
+            pool = jnp.pad(pool, ((0, 0), (0, DBUF), (0, 0)))
+            # relaunch bound: normal batches need 1 launch + one per
+            # drop-buffer fill (<= P/DBUF more).  Lanes still live past the
+            # bound overflow into the bit-exact host-oracle fallback — a
+            # kernel-lowering livelock costs throughput, never correctness
+            # or a wedged TPU worker.
+            MAX_LAUNCH = i32(8 + 2 * (P // DBUF))
+
+            def cond(c):
+                st, pool, lcnt = c
+                return (st["live"] == 1).any() & (lcnt < MAX_LAUNCH)
+
+            def body(c):
+                st, pool, lcnt = c
+                st = kernel(st, aseq3, bseq3, LA, LB, ts, pave, msc, dsc)
+                # flush the drop buffers into the pool (contiguous append)
+                base = jnp.clip(st["avail"] - st["dcnt"], 0, P)
+                pool = jax.vmap(
+                    lambda pl_, b, rows: jax.lax.dynamic_update_slice(
+                        pl_, rows, (b, 0))
+                )(pool, base, st["dbuf"])
+                st = dict(st, dcnt=jnp.zeros_like(st["dcnt"]),
+                          stall_dbuf=jnp.zeros_like(st["stall_dbuf"]))
+                return (st, pool, lcnt + 1)
+
+            st, pool, lcnt = jax.lax.while_loop(
+                cond, body, (st1, pool, i32(0)))
+            pool = pool[:, :P]
+            overflow_f = jnp.where(st["live"] == 1, 1, st["overflow"])
+            st = dict(st, overflow=overflow_f)
+            return dict(trima=st["trima"], trimy=st["trimy"],
+                        trimd=st["trimd"],
+                        trimha=st["trimha"], trimhb=st["trimhb"],
+                        morem=st["morem"], morea=st["morea"],
+                        morey=st["morey"], mored=st["mored"],
+                        moreha=st["moreha"], morehb=st["morehb"],
+                        pool=pool, avail=st["avail"],
+                        overflow=st["overflow"].astype(bool),
+                        waves=st["dif"], iters=jnp.max(st["oit"]),
+                        kit=st["kit"])
+
+        return driver
+
+    return make
+
+
+def make_persistent_wrapped(W, P, BW, DBUF, G, L, reverse,
+                            use_pallas=True, interpret=False):
+    """Persistent driver with the classic driver's signature: per-lane
+    window starts are derived from the seed anchor inside the jit.  The
+    window [x0 - MARGIN, x0 - MARGIN + L) (mirrored for the reverse wave)
+    covers every extension whenever L >= max read length + 2*MARGIN — the
+    engine picks L that way, so window-miss fallbacks are boundary-only."""
+    drv = make_persistent_driver(W, P, BW, DBUF, G, reverse,
+                                 use_pallas=use_pallas,
+                                 interpret=interpret)(L)
+
+    def fn(abase, bbase, mida, k0, aoffp, boffp, Aflat, Bflat,
+           ts, pave, msc, dsc):
+        x0 = (mida + k0) >> 1
+        y0 = (mida - k0) >> 1
+        LAp = max(int(Aflat.shape[0]), L)
+        LBp = max(int(Bflat.shape[0]), L)
+        if not reverse:
+            awst = jnp.clip(abase + x0 - MARGIN, 0, LAp - L)
+            bwst = jnp.clip(bbase + y0 - MARGIN, 0, LBp - L)
+        else:
+            awst = jnp.clip(abase + x0 + MARGIN - L, 0, LAp - L)
+            bwst = jnp.clip(bbase + y0 + MARGIN - L, 0, LBp - L)
+        return drv(abase, bbase, mida, k0, aoffp, boffp, awst, bwst,
+                   Aflat, Bflat, ts, pave, msc, dsc)
+
+    return fn
+
+
 _DRIVER_CACHE = {}
 
 
@@ -1092,7 +1551,8 @@ class PallasWaveEngine:
     inherited from WaveEngine."""
 
     def __new__(cls, spec, band_cap=64, pool_cap=2048, mesh=None,
-                use_pallas=None, interpret=False, group=None):
+                use_pallas=None, interpret=False, group=None,
+                persistent=None):
         from . import wave_jax
 
         if use_pallas is None:
@@ -1103,30 +1563,46 @@ class PallasWaveEngine:
             # divergence grows with the group, so G=8 wins end to end
             # (G=32 was ~25% slower on a 201-lane 12Mb batch)
             group = int(os.environ.get("DAMAPPER_WAVE_GROUP", 8))
+        if persistent is None:
+            persistent = os.environ.get(
+                "DAMAPPER_WAVE_PERSISTENT", "0") == "1"
 
         class _Engine(wave_jax.WaveEngine):
             def _get_fns(self, P):
-                if P not in self._fns:
+                key = (P, self._L) if persistent else P
+                if key not in self._fns:
                     common = (self.W, P, self._BW, self._DBUF, group,
-                              use_pallas, interpret)
-                    fwd = _cached_driver(
-                        common + (False,),
-                        lambda: make_driver(self.W, P, self._BW,
-                                            self._DBUF, group,
-                                            reverse=False,
-                                            use_pallas=use_pallas,
-                                            interpret=interpret))
-                    rev = _cached_driver(
-                        common + (True,),
-                        lambda: make_driver(self.W, P, self._BW,
-                                            self._DBUF, group,
-                                            reverse=True,
-                                            use_pallas=use_pallas,
-                                            interpret=interpret))
-                    self._fns[P] = (fwd, rev)
-                return self._fns[P]
+                              use_pallas, interpret, persistent, self._L)
+
+                    def mk(reverse):
+                        if persistent:
+                            return make_persistent_wrapped(
+                                self.W, P, self._BW, self._DBUF, group,
+                                self._L, reverse=reverse,
+                                use_pallas=use_pallas, interpret=interpret)
+                        return make_driver(
+                            self.W, P, self._BW, self._DBUF, group,
+                            reverse=reverse, use_pallas=use_pallas,
+                            interpret=interpret)
+
+                    fwd = _cached_driver(common + (False,),
+                                         lambda: mk(False))
+                    rev = _cached_driver(common + (True,),
+                                         lambda: mk(True))
+                    self._fns[key] = (fwd, rev)
+                return self._fns[key]
+
+            def local_alignment_batch(self, Aflat, Bflat, Anp, Bnp, seeds):
+                if persistent and seeds:
+                    # window bucket: covers any extension of the longest
+                    # read in the batch, pow2 to bound Mosaic compiles
+                    span = max(s["alen"] for s in seeds)
+                    self._L = max(2048, _pow2ceil(span + 2 * MARGIN))
+                return super().local_alignment_batch(
+                    Aflat, Bflat, Anp, Bnp, seeds)
 
         eng = _Engine(spec, band_cap=band_cap, pool_cap=pool_cap, mesh=mesh)
         eng._BW = max(128, band_cap + 64)
         eng._DBUF = 192
+        eng._L = 0
         return eng

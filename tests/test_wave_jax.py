@@ -155,6 +155,57 @@ def test_wave_pallas_interpret_matches_oracle():
         assert list(eb.trace) == list(gb.trace), f"case {i} B trace"
 
 
+@pytest.mark.parametrize("seed,err", [(0, 0.15), (3, 0.30)])
+def test_wave_persistent_matches_oracle(seed, err):
+    """The persistent-kernel driver (reload loop inside the kernel, lane
+    sequence windows resident in VMEM) through its XLA twin: must be
+    bit-identical to the oracle like the classic segment driver."""
+    from damapper_tpu.ops.wave_pallas import PallasWaveEngine
+
+    seqmem, insts = make_cases(1000 + seed, ncases=4, err=err)
+    spec = new_align_spec(0.85, 100, [.25, .25, .25, .25], True)
+    eng = PallasWaveEngine(spec, band_cap=64, pool_cap=2048,
+                           use_pallas=False, persistent=True)
+    dev = jnp.asarray(seqmem)
+    got = eng.local_alignment_batch(dev, dev, seqmem, seqmem, insts)
+    # genuine band/pool overflows fall back like the classic driver (1 lane
+    # at seed 0); a systematic WINDOW-placement bug would overflow them all
+    assert eng.n_fallback <= 1
+    for i, s in enumerate(insts):
+        a_np = seqmem[s["abase"]:s["abase"] + s["alen"]]
+        b_np = seqmem[s["bbase"]:s["bbase"] + s["blen"]]
+        ea, eb = wave.local_alignment(a_np, b_np, spec, s["diag"], s["diag"],
+                                      s["anti"], -1, -1, s["flags"])
+        ga, gb = got[i]
+        assert (ea.abpos, ea.bbpos, ea.aepos, ea.bepos, ea.diffs) == \
+               (ga.abpos, ga.bbpos, ga.aepos, ga.bepos, ga.diffs), f"case {i}"
+        assert list(ea.trace) == list(ga.trace), f"case {i} A trace"
+        assert list(eb.trace) == list(gb.trace), f"case {i} B trace"
+
+
+def test_wave_persistent_interpret_matches_oracle():
+    """The persistent pallas_call path in interpret mode: catches Mosaic
+    lowering regressions of the in-kernel reload machinery off-TPU."""
+    from damapper_tpu.ops.wave_pallas import PallasWaveEngine
+
+    seqmem, insts = make_cases(2000, ncases=2, err=0.15)
+    spec = new_align_spec(0.85, 100, [.25, .25, .25, .25], True)
+    eng = PallasWaveEngine(spec, band_cap=64, pool_cap=2048,
+                           use_pallas=True, interpret=True, persistent=True)
+    dev = jnp.asarray(seqmem)
+    got = eng.local_alignment_batch(dev, dev, seqmem, seqmem, insts)
+    for i, s in enumerate(insts):
+        a_np = seqmem[s["abase"]:s["abase"] + s["alen"]]
+        b_np = seqmem[s["bbase"]:s["bbase"] + s["blen"]]
+        ea, eb = wave.local_alignment(a_np, b_np, spec, s["diag"], s["diag"],
+                                      s["anti"], -1, -1, s["flags"])
+        ga, gb = got[i]
+        assert (ea.abpos, ea.bbpos, ea.aepos, ea.bepos, ea.diffs) == \
+               (ga.abpos, ga.bbpos, ga.aepos, ga.bepos, ga.diffs), f"case {i}"
+        assert list(ea.trace) == list(ga.trace), f"case {i} A trace"
+        assert list(eb.trace) == list(gb.trace), f"case {i} B trace"
+
+
 def test_tiny_round_host_route_identical():
     """Rounds below engine.host_min run on the host oracle; the routed
     results must equal the device path exactly (they share the oracle's
