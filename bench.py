@@ -135,6 +135,18 @@ def main():
         "vs_baseline": 0.0,
     }
     try:
+        # fail fast if the axon tunnel is wedged: a dead TPU worker makes
+        # jax.devices() hang forever IN ANY PROCESS, which would otherwise
+        # turn this bench into a silent timeout with no JSON line at all
+        if os.environ.get("JAX_PLATFORMS", "") not in ("cpu", ""):
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=int(os.environ.get("BENCH_TUNNEL_PROBE_S", 180)),
+                capture_output=True)
+            if probe.returncode != 0:
+                raise RuntimeError(
+                    "TPU backend probe failed: "
+                    + probe.stderr.decode()[-200:])
         build_dataset(work)
         # best-of for the reference too: host contention swings its
         # wall-clock 2-3x, and a one-shot ref time makes ratios unfair

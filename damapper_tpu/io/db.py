@@ -337,6 +337,11 @@ class DazzDB:
         o = 1  # seq[0] is the leading sentinel (Load_All_Reads DB.c:1406)
         with open(bpsp, "rb") as fp:
             raw = fp.read()
+        need = int(self.reads["boff"][-1]) + \
+            ((int(self.reads["rlen"][-1]) + 3) >> 2) if self.nreads else 0
+        if len(raw) < need:
+            raise IOError(f"{bpsp}: The file is corrupted (short read: "
+                          f"wanted {need} bytes, got {len(raw)})")
         boffs = self.reads["boff"].copy()
         new_boffs = np.empty(self.nreads + 1, np.int64)
         for i in range(self.nreads):
@@ -633,7 +638,7 @@ class ArrowTrack:
         """Load_Arrow (DB.c:1508)."""
         self.fp.seek(int(self.aoff[i]))
         ln = int(self.rlens[i])
-        buf = self.fp.read((ln + 3) >> 2)
+        buf = _fread(self.fp, (ln + 3) >> 2, "arrow stream")
         arr = uncompress_bases(buf, ln)
         return letter_arrow(arr) if ascii else arr
 

@@ -98,7 +98,10 @@ def read_extra(fp, into: DazzExtra | None = None):
             return None
         raise IOError("corrupted EXTRA record header")
     vtype, nelem, accum, slen = np.frombuffer(hdr, "<i4")
-    name = fp.read(int(slen)).decode()
+    nm = fp.read(int(slen))
+    if len(nm) != int(slen):
+        raise IOError("corrupted EXTRA record name")
+    name = nm.decode()
     raw = fp.read(8 * int(nelem))
     if len(raw) != 8 * int(nelem):
         raise IOError("corrupted EXTRA record value")

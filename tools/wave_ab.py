@@ -1,0 +1,80 @@
+"""A/B the classic segment driver vs the persistent wave kernel.
+
+Builds a bench-like batch of seeds (PacBio-length reads, 15% error) and
+runs both PallasWaveEngine variants on the current backend, asserting
+record-identical results and printing per-lane timings.
+
+Usage:  python tools/wave_ab.py [ncases] [rlen] [mode]
+        mode: ab (default) | classic | persistent
+On TPU this is the fastest way to measure the persistent kernel's launch
+economics without paying a whole pipeline run.
+"""
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+
+from damapper_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(str(pathlib.Path(__file__).resolve().parent.parent
+                         / "tests" / "data" / "xla_cache"))
+
+import jax.numpy as jnp  # noqa: E402
+
+from damapper_tpu.ops.spec import new_align_spec  # noqa: E402
+from damapper_tpu.ops.wave_pallas import PallasWaveEngine  # noqa: E402
+from tests.test_wave_jax import make_cases  # noqa: E402
+
+
+def key(rec):
+    a, b = rec
+    return (a.abpos, a.bbpos, a.aepos, a.bepos, a.diffs,
+            tuple(a.trace), tuple(b.trace))
+
+
+def run(engine, dev, seqmem, insts, label):
+    t0 = time.time()
+    got = engine.local_alignment_batch(dev, dev, seqmem, seqmem, insts)
+    dt = time.time() - t0
+    print(f"{label}: {dt:.2f}s total, {1e3 * dt / len(insts):.2f} ms/lane,"
+          f" fallback={engine.n_fallback}", flush=True)
+    return got, dt
+
+
+def main():
+    ncases = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    rlen = int(sys.argv[2]) if len(sys.argv) > 2 else 6000
+    mode = sys.argv[3] if len(sys.argv) > 3 else "ab"
+    seqmem, insts = make_cases(777, ncases=ncases, glen=4 * rlen,
+                               rlen=rlen, err=0.15)
+    spec = new_align_spec(0.85, 100, [.25, .25, .25, .25], True)
+    dev = jnp.asarray(seqmem)
+    print(f"{ncases} lanes, reads ~{rlen}bp", flush=True)
+
+    results = {}
+    for label, persistent in (("classic", False), ("persistent", True)):
+        if mode != "ab" and mode != label:
+            continue
+        eng = PallasWaveEngine(spec, band_cap=64, pool_cap=2048,
+                               persistent=persistent)
+        eng.host_min = 0
+        run(eng, dev, seqmem, insts, label + " (compile)")
+        got, dt = run(eng, dev, seqmem, insts, label + " (warm)   ")
+        results[label] = (got, dt)
+
+    if len(results) == 2:
+        gc, dc = results["classic"]
+        gp, dp = results["persistent"]
+        mism = sum(1 for a, b in zip(gc, gp) if key(a) != key(b))
+        print(f"identical: {mism == 0} ({mism} mismatches); "
+              f"speedup {dc / dp:.2f}x", flush=True)
+        if mism:
+            sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
