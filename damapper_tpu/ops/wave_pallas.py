@@ -1434,24 +1434,26 @@ def make_persistent_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
                    Aflat, Bflat, ts, pave, msc, dsc):
             LA = i32(Aflat.shape[0])
             LB = i32(Bflat.shape[0])
-            Apad = (Aflat if Aflat.shape[0] >= L
-                    else jnp.pad(Aflat, (0, L - Aflat.shape[0]),
-                                 constant_values=4))
-            Bpad = (Bflat if Bflat.shape[0] >= L
-                    else jnp.pad(Bflat, (0, L - Bflat.shape[0]),
-                                 constant_values=4))
-            va = jax.vmap(
-                lambda st_: jax.lax.dynamic_slice(Apad, (st_,), (L,))
-            )(awst)
-            vb = jax.vmap(
-                lambda st_: jax.lax.dynamic_slice(Bpad, (st_,), (L,))
-            )(bwst)
-            if reverse:
-                va = jnp.flip(va, axis=1)
-                vb = jnp.flip(vb, axis=1)
-            B_ = va.shape[0]
-            aseq3 = va.reshape(B_, L // 128, 128).astype(i32)
-            bseq3 = vb.reshape(B_, L // 128, 128).astype(i32)
+
+            # window fetch as an ALIGNED 128-lane row gather: per-element
+            # gathers are latency-bound (~40ns/elem) on this backend, row
+            # gathers of (128,)-aligned slices are layout-native.  awst /
+            # bwst are pre-aligned to 128 by the wrapper.
+            def fetch(flat, wst):
+                Lp = -(-max(int(flat.shape[0]), L) // 128) * 128
+                pad = (flat if int(flat.shape[0]) == Lp
+                       else jnp.pad(flat, (0, Lp - int(flat.shape[0])),
+                                    constant_values=4))
+                rows2 = pad.reshape(-1, 128)
+                idx = (wst // 128)[:, None] + \
+                    jnp.arange(L // 128, dtype=i32)[None]
+                v3 = rows2[idx]                 # (B, L/128, 128)
+                if reverse:
+                    v3 = jnp.flip(jnp.flip(v3, axis=1), axis=2)
+                return v3.astype(i32)
+
+            aseq3 = fetch(Aflat, awst)
+            bseq3 = fetch(Bflat, bwst)
 
             st1, pool = jax.vmap(
                 prologue, in_axes=(0, 0, 0, 0, 0, 0, None, None, None)
@@ -1521,14 +1523,18 @@ def make_persistent_wrapped(W, P, BW, DBUF, G, L, reverse,
            ts, pave, msc, dsc):
         x0 = (mida + k0) >> 1
         y0 = (mida - k0) >> 1
-        LAp = max(int(Aflat.shape[0]), L)
-        LBp = max(int(Bflat.shape[0]), L)
+        # 128-pad the bound and align the starts down to 128 so the window
+        # fetch is a row gather; MARGIN leaves ample slack for the shift
+        LAp = -(-max(int(Aflat.shape[0]), L) // 128) * 128
+        LBp = -(-max(int(Bflat.shape[0]), L) // 128) * 128
         if not reverse:
             awst = jnp.clip(abase + x0 - MARGIN, 0, LAp - L)
             bwst = jnp.clip(bbase + y0 - MARGIN, 0, LBp - L)
         else:
             awst = jnp.clip(abase + x0 + MARGIN - L, 0, LAp - L)
             bwst = jnp.clip(bbase + y0 + MARGIN - L, 0, LBp - L)
+        awst = (awst // 128) * 128
+        bwst = (bwst // 128) * 128
         return drv(abase, bbase, mida, k0, aoffp, boffp, awst, bwst,
                    Aflat, Bflat, ts, pave, msc, dsc)
 
