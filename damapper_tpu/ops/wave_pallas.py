@@ -1609,6 +1609,9 @@ class PallasWaveEngine:
 
         eng = _Engine(spec, band_cap=band_cap, pool_cap=pool_cap, mesh=mesh)
         eng._BW = max(128, band_cap + 64)
-        eng._DBUF = 192
+        # persistent: a bigger drop buffer means the kernel usually runs a
+        # whole lane to completion in ONE launch (drops per lane ~4*alen/TS)
+        eng._DBUF = int(os.environ.get("DAMAPPER_WAVE_DBUF",
+                                       "512" if persistent else "192"))
         eng._L = 0
         return eng
