@@ -168,6 +168,22 @@ def test_e2e_pallas_wave_backend(tmp_path):
     assert not d, d
 
 
+def test_e2e_persistent_wave_backend(tmp_path, monkeypatch):
+    """The persistent wave driver (reload loop inside the kernel) through
+    the FULL mapper must reproduce the reference .las (XLA twin on the
+    CPU test mesh; the Mosaic lowering is covered by the interpret test
+    in test_wave_jax)."""
+    monkeypatch.setenv("DAMAPPER_WAVE_PERSISTENT", "1")
+    (tmp_path / "ours").mkdir()
+    make_dataset(tmp_path, seed=23, glen=24_000, ncontigs=2, nreads=6,
+                 bsize=14_000, max_len=3500)
+    grecs, orecs = run_both(tmp_path, ["-k20", "-T4"],
+                            DamapperConfig(wave_backend="pallas"))
+    assert len(grecs) > 0
+    d = diff_las(grecs, orecs)
+    assert not d, d
+
+
 def test_e2e_device_index_backend(tmp_path):
     """The device index/matching path (ops.device_index, default on TPU)
     must reproduce the reference .las end to end."""
