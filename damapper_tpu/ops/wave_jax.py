@@ -857,6 +857,7 @@ class WaveEngine:
                     arr = arr.astype(bool)
                 unpacked[f] = arr
             self.last_iters = int(unpacked.pop("iters", 0))
+            self.last_launches = int(unpacked.pop("launches", 0))
             chunks.append({f: v[:en - st]
                            for f, v in unpacked.items()})
         merged = {f: np.concatenate([c[f] for c in chunks])

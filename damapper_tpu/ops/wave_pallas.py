@@ -1501,7 +1501,7 @@ def make_persistent_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
                         pool=pool, avail=st["avail"],
                         overflow=st["overflow"].astype(bool),
                         waves=st["dif"], iters=jnp.max(st["oit"]),
-                        kit=st["kit"])
+                        launches=lcnt, kit=st["kit"])
 
         return driver
 

@@ -41,7 +41,9 @@ def run(engine, dev, seqmem, insts, label):
     got = engine.local_alignment_batch(dev, dev, seqmem, seqmem, insts)
     dt = time.time() - t0
     print(f"{label}: {dt:.2f}s total, {1e3 * dt / len(insts):.2f} ms/lane,"
-          f" fallback={engine.n_fallback}", flush=True)
+          f" fallback={engine.n_fallback}"
+          f" iters={getattr(engine, 'last_iters', 0)}"
+          f" launches={getattr(engine, 'last_launches', 0)}", flush=True)
     return got, dt
 
 
