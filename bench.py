@@ -39,6 +39,11 @@ from damapper_tpu.utils.cache import enable_compile_cache  # noqa: E402
 enable_compile_cache(str(CACHE))
 import jax  # noqa: E402
 
+if os.environ.get("BENCH_FORCE_CPU") == "1":
+    # tunnel-outage fallback (see the probe in main): measure on CPU
+    # honestly rather than emitting nothing
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 
 GLEN = int(os.environ.get("BENCH_GLEN", 140_000_000))
@@ -46,8 +51,10 @@ NREADS = int(os.environ.get("BENCH_NREADS", 1000))
 SEED = int(os.environ.get("BENCH_SEED", 42))
 BSIZE = int(os.environ.get("BENCH_BSIZE", 260_000_000))
 # the axon TPU tunnel's execution time is jittery (3x swings between
-# identical runs); report the best of BENCH_REPEATS attempts
-REPEATS = int(os.environ.get("BENCH_REPEATS", 2))
+# identical runs); report the best of BENCH_REPEATS attempts.  The CPU
+# fallback is slow and not jittery — one attempt
+REPEATS = int(os.environ.get(
+    "BENCH_REPEATS", 1 if os.environ.get("BENCH_FORCE_CPU") == "1" else 2))
 VARIANTS = os.environ.get("BENCH_VARIANTS", "1") != "0"
 
 
@@ -134,19 +141,31 @@ def main():
         "unit": "reads/s",
         "vs_baseline": 0.0,
     }
+    if os.environ.get("BENCH_FORCE_CPU") == "1":
+        result["platform"] = "cpu (TPU tunnel unreachable)"
     try:
         # fail fast if the axon tunnel is wedged: a dead TPU worker makes
         # jax.devices() hang forever IN ANY PROCESS, which would otherwise
         # turn this bench into a silent timeout with no JSON line at all
-        if os.environ.get("JAX_PLATFORMS", "") not in ("cpu", ""):
-            probe = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=int(os.environ.get("BENCH_TUNNEL_PROBE_S", 180)),
-                capture_output=True)
-            if probe.returncode != 0:
-                raise RuntimeError(
-                    "TPU backend probe failed: "
-                    + probe.stderr.decode()[-200:])
+        if (os.environ.get("JAX_PLATFORMS", "") not in ("cpu", "")
+                and os.environ.get("BENCH_FORCE_CPU") != "1"):
+            ok = True
+            try:
+                probe = subprocess.run(
+                    [sys.executable, "-c", "import jax; jax.devices()"],
+                    timeout=int(os.environ.get("BENCH_TUNNEL_PROBE_S",
+                                               180)),
+                    capture_output=True)
+                ok = probe.returncode == 0
+            except subprocess.TimeoutExpired:
+                ok = False
+            if not ok:
+                # TPU tunnel wedged: re-run this bench on CPU and say so,
+                # rather than hanging past the driver timeout with no JSON
+                env = dict(os.environ, BENCH_FORCE_CPU="1",
+                           JAX_PLATFORMS="cpu")
+                r = subprocess.run([sys.executable, __file__], env=env)
+                sys.exit(r.returncode)
         build_dataset(work)
         # best-of for the reference too: host contention swings its
         # wall-clock 2-3x, and a one-shot ref time makes ratios unfair
@@ -154,6 +173,9 @@ def main():
         ref_dt, ref_las = time_reference(work, ["-k20", "-T4"])
         our_dt, our_las, stats = time_ours(work)
         result["value"] = round(NREADS / our_dt, 3)
+        if stats.get("times"):
+            result["stage_seconds"] = {
+                k: round(v, 2) for k, v in stats["times"].items()}
         if stats.get("cell_updates"):
             t = max(1e-9, stats["times"].get("align", our_dt))
             result["cell_updates_per_sec"] = round(
