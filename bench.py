@@ -46,8 +46,12 @@ if os.environ.get("BENCH_FORCE_CPU") == "1":
 
 import numpy as np  # noqa: E402
 
-GLEN = int(os.environ.get("BENCH_GLEN", 140_000_000))
-NREADS = int(os.environ.get("BENCH_NREADS", 1000))
+_CPU_FB = os.environ.get("BENCH_FORCE_CPU") == "1"
+# CPU-fallback defaults are smaller so an honest measurement completes
+# within the driver's timeout (the metric string self-describes the size)
+GLEN = int(os.environ.get("BENCH_GLEN",
+                          12_000_000 if _CPU_FB else 140_000_000))
+NREADS = int(os.environ.get("BENCH_NREADS", 200 if _CPU_FB else 1000))
 SEED = int(os.environ.get("BENCH_SEED", 42))
 BSIZE = int(os.environ.get("BENCH_BSIZE", 260_000_000))
 # the axon TPU tunnel's execution time is jittery (3x swings between

@@ -111,6 +111,63 @@ def state_arrays(n, W, BW, DBUF):
 
 
 # ---------------------------------------------------------------------------
+# packed-operand plumbing (DAMAPPER_WAVE_PACKOPS=1): the per-launch fixed
+# cost of a Mosaic custom call scales with its operand list (each aliased
+# operand pays a layout boundary).  Packing the state into FOUR contiguous
+# buffers — i32 band rows, u32 band rows (+ bitmask planes), per-lane
+# scalar columns, drop buffer — cuts ~60 operands to 4 without touching
+# kernel semantics: the kernel slices the packs with static offsets.
+# ---------------------------------------------------------------------------
+
+
+def _mk_packer(W, BWW, scalar_names, with_planes):
+    i32_names = BAND_I32 + BAND_MSK
+    u32w_names = BAND_U32
+    plane_names = PLANES if with_planes else ()
+
+    def pack(st):
+        bi = jnp.concatenate([st[nm] for nm in i32_names], axis=1)
+        bu = jnp.concatenate([st[nm] for nm in u32w_names]
+                             + [st[nm] for nm in plane_names], axis=1)
+        sc = jnp.stack([st[nm] for nm in scalar_names], axis=1)
+        return bi, bu, sc
+
+    def unpack(bi, bu, sc):
+        st = {}
+        off = 0
+        for nm in i32_names:
+            st[nm] = bi[:, off:off + W]
+            off += W
+        off = 0
+        for nm in u32w_names:
+            st[nm] = bu[:, off:off + W]
+            off += W
+        for nm in plane_names:
+            st[nm] = bu[:, off:off + BWW * W]
+            off += BWW * W
+        for k, nm in enumerate(scalar_names):
+            st[nm] = sc[:, k:k + 1][:, 0]
+        return st
+
+    def store(bi_ref, bu_ref, sc_ref, res):
+        off = 0
+        for nm in i32_names:
+            bi_ref[:, off:off + W] = res[nm]
+            off += W
+        off = 0
+        for nm in u32w_names:
+            bu_ref[:, off:off + W] = res[nm]
+            off += W
+        for nm in plane_names:
+            bu_ref[:, off:off + BWW * W] = res[nm]
+            off += BWW * W
+        for k, nm in enumerate(scalar_names):
+            sc_ref[:, k:k + 1] = res[nm][:, None]
+
+    return pack, unpack, store
+
+
+# ---------------------------------------------------------------------------
 # the segment step: pure jnp over (G, ...) arrays with scalar-cond whiles.
 # Runs identically under plain XLA (used by the CPU tests) and inside the
 # pallas kernel.
@@ -922,13 +979,57 @@ def make_reload(W, BW, reverse):
 
 
 def make_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
-                interpret=False):
+                interpret=False, packops=False):
     seg = make_segment(W, BW, P, DBUF, reverse)
     prologue = make_prologue(W, P, BW, DBUF, reverse)
     reload_ = make_reload(W, BW, reverse)
 
     def segment_xla(st, ts, pave, msc, dsc):
         return seg(st, ts, pave, msc, dsc)
+
+    def segment_pallas_packed(st, ts, pave, msc, dsc):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        B = st["V"].shape[0]
+        Gm = min(G, B)
+        pack, unpack, store = _mk_packer(W, BW // 32, SCALARS, True)
+        consts = jnp.stack([ts, pave, msc, dsc]).astype(i32)
+        bi, bu, sc = pack(st)
+        dbuf = st["dbuf"]
+
+        def kernel(bi_r, bu_r, sc_r, db_r, cn_r, obi, obu, osc, odb):
+            stk = unpack(bi_r[...], bu_r[...], sc_r[...])
+            stk["dbuf"] = db_r[...]
+            cns = cn_r[...]
+            res = seg(stk, cns[0, 0], cns[0, 1], cns[0, 2], cns[0, 3])
+            store(obi, obu, osc, res)
+            odb[...] = res["dbuf"]
+
+        def rowspec(arr):
+            w = arr.shape[1]
+            return pl.BlockSpec((Gm, w), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+
+        dspec = pl.BlockSpec((Gm, DBUF, 4), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        obi, obu, osc, odb = pl.pallas_call(
+            kernel,
+            grid=(B // Gm,),
+            in_specs=[rowspec(bi), rowspec(bu), rowspec(sc), dspec,
+                      pl.BlockSpec((1, 4), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=(rowspec(bi), rowspec(bu), rowspec(sc), dspec),
+            out_shape=tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
+                            for a in (bi, bu, sc, dbuf)),
+            input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(bi, bu, sc, dbuf, consts[None, :])
+        res = unpack(obi, obu, osc)
+        res["dbuf"] = odb
+        return res
 
     def segment_pallas(st, ts, pave, msc, dsc):
         from jax.experimental import pallas as pl
@@ -997,7 +1098,8 @@ def make_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
             res[nm] = v[:, 0] if nm in SCALARS else v
         return res
 
-    segment = segment_pallas if use_pallas else segment_xla
+    segment = (segment_pallas_packed if packops else
+               segment_pallas) if use_pallas else segment_xla
     soff = -1 if reverse else 0
     _maxit = int(os.environ.get("DAMAPPER_PALLAS_MAXIT", 0))
 
@@ -1343,7 +1445,7 @@ def make_persistent_kernel(W, P, BW, DBUF, G, reverse, maxit=0):
 
 
 def make_persistent_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
-                           interpret=False):
+                           interpret=False, packops=False):
     """prologue -> [persistent kernel; flush drop buffers]* -> outputs.
     The XLA loop body runs only when a lane's drop buffer filled (DBUF is
     sized so that is rare): typically ONE kernel launch per batch."""
@@ -1354,6 +1456,57 @@ def make_persistent_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
     def kernel_xla(st, aseq3, bseq3, LA, LB, ts, pave, msc, dsc):
         return kfn(st, aseq3, bseq3, LA, LB, ts, pave, msc, dsc,
                    unroll_lanes=False)
+
+    def kernel_pallas_packed(st, aseq3, bseq3, LA, LB, ts, pave, msc, dsc):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        B = st["V"].shape[0]
+        Gm = min(G, B)
+        pack, unpack, store = _mk_packer(W, BW // 32, PSCALARS, False)
+        consts = jnp.stack([ts, pave, msc, dsc, LA, LB]).astype(i32)
+        bi, bu, sc = pack(st)
+        dbuf = st["dbuf"]
+
+        def kernel(bi_r, bu_r, sc_r, db_r, a_r, b_r, cn_r,
+                   obi, obu, osc, odb):
+            stk = unpack(bi_r[...], bu_r[...], sc_r[...])
+            stk["dbuf"] = db_r[...]
+            cns = cn_r[...]
+            res = kfn(stk, a_r[...], b_r[...], cns[0, 4], cns[0, 5],
+                      cns[0, 0], cns[0, 1], cns[0, 2], cns[0, 3],
+                      unroll_lanes=True)
+            store(obi, obu, osc, res)
+            odb[...] = res["dbuf"]
+
+        def rowspec(arr):
+            w = arr.shape[1]
+            return pl.BlockSpec((Gm, w), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+
+        dspec = pl.BlockSpec((Gm, DBUF, 4), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        sspec = [pl.BlockSpec((Gm,) + s.shape[1:], lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+                 for s in (aseq3, bseq3)]
+        obi, obu, osc, odb = pl.pallas_call(
+            kernel,
+            grid=(B // Gm,),
+            in_specs=[rowspec(bi), rowspec(bu), rowspec(sc), dspec,
+                      *sspec,
+                      pl.BlockSpec((1, 6), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=(rowspec(bi), rowspec(bu), rowspec(sc), dspec),
+            out_shape=tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
+                            for a in (bi, bu, sc, dbuf)),
+            input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(bi, bu, sc, dbuf, aseq3, bseq3, consts[None, :])
+        res = unpack(obi, obu, osc)
+        res["dbuf"] = odb
+        return res
 
     def kernel_pallas(st, aseq3, bseq3, LA, LB, ts, pave, msc, dsc):
         from jax.experimental import pallas as pl
@@ -1425,7 +1578,8 @@ def make_persistent_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
             res[nm] = v[:, 0] if nm in PSCALARS else v
         return res
 
-    kernel = kernel_pallas if use_pallas else kernel_xla
+    kernel = (kernel_pallas_packed if packops else
+              kernel_pallas) if use_pallas else kernel_xla
 
     def make(L):
         """Driver specialised to a window-length bucket L (static)."""
@@ -1509,7 +1663,8 @@ def make_persistent_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
 
 
 def make_persistent_wrapped(W, P, BW, DBUF, G, L, reverse,
-                            use_pallas=True, interpret=False):
+                            use_pallas=True, interpret=False,
+                            packops=False):
     """Persistent driver with the classic driver's signature: per-lane
     window starts are derived from the seed anchor inside the jit.  The
     window [x0 - MARGIN, x0 - MARGIN + L) (mirrored for the reverse wave)
@@ -1517,7 +1672,8 @@ def make_persistent_wrapped(W, P, BW, DBUF, G, L, reverse,
     engine picks L that way, so window-miss fallbacks are boundary-only."""
     drv = make_persistent_driver(W, P, BW, DBUF, G, reverse,
                                  use_pallas=use_pallas,
-                                 interpret=interpret)(L)
+                                 interpret=interpret,
+                                 packops=packops)(L)
 
     def fn(abase, bbase, mida, k0, aoffp, boffp, Aflat, Bflat,
            ts, pave, msc, dsc):
@@ -1572,24 +1728,27 @@ class PallasWaveEngine:
         if persistent is None:
             persistent = os.environ.get(
                 "DAMAPPER_WAVE_PERSISTENT", "0") == "1"
+        packops = os.environ.get("DAMAPPER_WAVE_PACKOPS", "0") == "1"
 
         class _Engine(wave_jax.WaveEngine):
             def _get_fns(self, P):
                 key = (P, self._L) if persistent else P
                 if key not in self._fns:
                     common = (self.W, P, self._BW, self._DBUF, group,
-                              use_pallas, interpret, persistent, self._L)
+                              use_pallas, interpret, persistent, self._L,
+                              packops)
 
                     def mk(reverse):
                         if persistent:
                             return make_persistent_wrapped(
                                 self.W, P, self._BW, self._DBUF, group,
                                 self._L, reverse=reverse,
-                                use_pallas=use_pallas, interpret=interpret)
+                                use_pallas=use_pallas, interpret=interpret,
+                                packops=packops)
                         return make_driver(
                             self.W, P, self._BW, self._DBUF, group,
                             reverse=reverse, use_pallas=use_pallas,
-                            interpret=interpret)
+                            interpret=interpret, packops=packops)
 
                     fwd = _cached_driver(common + (False,),
                                          lambda: mk(False))

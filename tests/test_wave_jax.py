@@ -131,12 +131,15 @@ def test_wave_pallas_matches_oracle(seed, err):
         assert list(eb.trace) == list(gb.trace), f"case {i} B trace"
 
 
-def test_wave_pallas_interpret_matches_oracle():
+@pytest.mark.parametrize("packops", ["0", "1"])
+def test_wave_pallas_interpret_matches_oracle(packops, monkeypatch):
     """The actual pallas_call path in interpret mode (use_pallas=True on
     CPU): catches Mosaic-kernel regressions off-TPU, where the default
-    engine silently takes the identical XLA route instead."""
+    engine silently takes the identical XLA route instead.  packops=1
+    additionally exercises the packed-operand plumbing."""
     from damapper_tpu.ops.wave_pallas import PallasWaveEngine
 
+    monkeypatch.setenv("DAMAPPER_WAVE_PACKOPS", packops)
     seqmem, insts = make_cases(2000, ncases=2, err=0.15)
     spec = new_align_spec(0.85, 100, [.25, .25, .25, .25], True)
     eng = PallasWaveEngine(spec, band_cap=64, pool_cap=2048,
@@ -183,11 +186,13 @@ def test_wave_persistent_matches_oracle(seed, err):
         assert list(eb.trace) == list(gb.trace), f"case {i} B trace"
 
 
-def test_wave_persistent_interpret_matches_oracle():
+@pytest.mark.parametrize("packops", ["0", "1"])
+def test_wave_persistent_interpret_matches_oracle(packops, monkeypatch):
     """The persistent pallas_call path in interpret mode: catches Mosaic
     lowering regressions of the in-kernel reload machinery off-TPU."""
     from damapper_tpu.ops.wave_pallas import PallasWaveEngine
 
+    monkeypatch.setenv("DAMAPPER_WAVE_PACKOPS", packops)
     seqmem, insts = make_cases(2000, ncases=2, err=0.15)
     spec = new_align_spec(0.85, 100, [.25, .25, .25, .25], True)
     eng = PallasWaveEngine(spec, band_cap=64, pool_cap=2048,
