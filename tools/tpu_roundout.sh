@@ -19,6 +19,12 @@ timeout 900 python tools/wave_ab.py 64 6000 persistent
 echo "== tunnel still alive? =="
 timeout 60 python -c "import jax; jax.devices(); print('alive')" || exit 1
 
+echo "== packed-operand A/B (classic driver) =="
+DAMAPPER_WAVE_PACKOPS=1 timeout 600 python tools/wave_ab.py 64 6000 classic
+
+echo "== packed-operand persistent micro =="
+DAMAPPER_WAVE_PACKOPS=1 timeout 900 python tools/wave_ab.py 64 6000 persistent
+
 echo "== A/B at batch scale =="
 timeout 900 python tools/wave_ab.py 256 6000
 
