@@ -39,14 +39,14 @@ from damapper_tpu.utils.cache import enable_compile_cache  # noqa: E402
 enable_compile_cache(str(CACHE))
 import jax  # noqa: E402
 
-if os.environ.get("BENCH_FORCE_CPU") == "1":
+_CPU_FB = os.environ.get("BENCH_FORCE_CPU") == "1"
+if _CPU_FB:
     # tunnel-outage fallback (see the probe in main): measure on CPU
     # honestly rather than emitting nothing
     jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 
-_CPU_FB = os.environ.get("BENCH_FORCE_CPU") == "1"
 # CPU-fallback defaults are smaller so an honest measurement completes
 # within the driver's timeout (the metric string self-describes the size)
 GLEN = int(os.environ.get("BENCH_GLEN",
@@ -57,8 +57,7 @@ BSIZE = int(os.environ.get("BENCH_BSIZE", 260_000_000))
 # the axon TPU tunnel's execution time is jittery (3x swings between
 # identical runs); report the best of BENCH_REPEATS attempts.  The CPU
 # fallback is slow and not jittery — one attempt
-REPEATS = int(os.environ.get(
-    "BENCH_REPEATS", 1 if os.environ.get("BENCH_FORCE_CPU") == "1" else 2))
+REPEATS = int(os.environ.get("BENCH_REPEATS", 1 if _CPU_FB else 2))
 VARIANTS = os.environ.get("BENCH_VARIANTS", "1") != "0"
 
 
@@ -145,14 +144,14 @@ def main():
         "unit": "reads/s",
         "vs_baseline": 0.0,
     }
-    if os.environ.get("BENCH_FORCE_CPU") == "1":
+    if _CPU_FB:
         result["platform"] = "cpu (TPU tunnel unreachable)"
     try:
         # fail fast if the axon tunnel is wedged: a dead TPU worker makes
         # jax.devices() hang forever IN ANY PROCESS, which would otherwise
         # turn this bench into a silent timeout with no JSON line at all
         if (os.environ.get("JAX_PLATFORMS", "") not in ("cpu", "")
-                and os.environ.get("BENCH_FORCE_CPU") != "1"):
+                and not _CPU_FB):
             ok = True
             try:
                 probe = subprocess.run(

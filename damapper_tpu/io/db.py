@@ -525,19 +525,15 @@ def create_db(path: str, entries, bsize: int = 200_000_000,
                     stub_files=[(len(reads), root, root)])
 
 
-def _write_db_files(pwd, root, ext, reads, seqs, bps, bsize, cutoff, all_wells,
-                    stub_files):
-    nreads = len(reads)
+def _partition_blocks(reads, bsize, cutoff, all_wells):
+    """DBsplit block partition (fill blocks to >= bsize trimmed bases).
+    Returns (tkeep, ublocks, tblocks)."""
     rlens = reads["rlen"]
     allflag = 0 if all_wells else DB_BEST
     tkeep = ((reads["flags"] & DB_BEST) >= allflag) & (rlens >= cutoff)
-    treads = int(tkeep.sum())
-
-    # block partition (DBsplit semantics: fill blocks to >= bsize trimmed bases)
     ublocks, tblocks = [0], [0]
-    acc = 0
-    tcount = 0
-    for i in range(nreads):
+    acc = tcount = 0
+    for i in range(len(reads)):
         if tkeep[i]:
             acc += int(rlens[i])
             tcount += 1
@@ -545,15 +541,27 @@ def _write_db_files(pwd, root, ext, reads, seqs, bps, bsize, cutoff, all_wells,
                 ublocks.append(i + 1)
                 tblocks.append(tcount)
                 acc = 0
-    if ublocks[-1] != nreads:
-        if tcount == tblocks[-1]:
-            # only cutoff-filtered reads trail the last closed block:
+    if ublocks[-1] != len(reads):
+        if tcount == tblocks[-1] and len(ublocks) > 1:
+            # only cutoff-filtered reads trail the last CLOSED block:
             # extend it instead of emitting an empty trimmed block
-            # (DBsplit never writes a zero-read block)
-            ublocks[-1] = nreads
+            # (DBsplit never writes a zero-read block).  When no block
+            # closed at all (zero kept reads), keep the single full-range
+            # block instead of destroying the leading 0 boundary.
+            ublocks[-1] = len(reads)
         else:
-            ublocks.append(nreads)
+            ublocks.append(len(reads))
             tblocks.append(tcount)
+    return tkeep, ublocks, tblocks
+
+
+def _write_db_files(pwd, root, ext, reads, seqs, bps, bsize, cutoff, all_wells,
+                    stub_files):
+    nreads = len(reads)
+    rlens = reads["rlen"]
+    tkeep, ublocks, tblocks = _partition_blocks(reads, bsize, cutoff,
+                                                all_wells)
+    treads = int(tkeep.sum())
     nblocks = len(ublocks) - 1
 
     stub = DBStub(nfiles=len(stub_files),
@@ -687,29 +695,7 @@ def dbsplit(path: str, bsize: int | None = None, cutoff: int | None = None,
     with open(os.path.join(pwd, "." + root + ".idx"), "rb") as fp:
         fp.seek(HEADER_DTYPE.itemsize)
         reads = np.frombuffer(fp.read(), READ_DTYPE)
-    rlens = reads["rlen"]
-    allflag = 0 if all_wells else DB_BEST
-    tkeep = ((reads["flags"] & DB_BEST) >= allflag) & (rlens >= cutoff)
-
-    ublocks, tblocks = [0], [0]
-    acc = tcount = 0
-    for i in range(len(reads)):
-        if tkeep[i]:
-            acc += int(rlens[i])
-            tcount += 1
-            if acc >= bsize:
-                ublocks.append(i + 1)
-                tblocks.append(tcount)
-                acc = 0
-    if ublocks[-1] != len(reads):
-        if tcount == tblocks[-1]:
-            # only cutoff-filtered reads trail the last closed block:
-            # extend it instead of emitting an empty trimmed block
-            # (DBsplit never writes a zero-read block)
-            ublocks[-1] = len(reads)
-        else:
-            ublocks.append(len(reads))
-            tblocks.append(tcount)
+    _, ublocks, tblocks = _partition_blocks(reads, bsize, cutoff, all_wells)
 
     stub.bsize = bsize
     stub.cutoff = cutoff

@@ -910,37 +910,86 @@ def make_prologue(W, P, BW, DBUF, reverse):
     return prologue
 
 
+def _yref_of(st, W, reverse):
+    """Reload anchor y: the extreme reachable y over ACTIVE snake positions
+    for mid-wave lanes (anchoring on the committed band's older y values
+    anchors the window too low and livelocks the stall), else over the
+    committed band.  SHARED between the XLA driver body and the persistent
+    kernel — the two must anchor identically or their reloads diverge."""
+    act = st["sact"] == 1
+    inph = (st["phase"] == 1)[:, None]
+    fillv = INT32_MAX if not reverse else -INT32_MAX
+    slots = jax.lax.broadcasted_iota(i32, (1, W), 1)
+    kk = st["low"][:, None] + jnp.remainder(slots - st["low"][:, None], W)
+    inb = kk <= st["hgh"][:, None]
+    vvalid = inb & (st["V"] != (INT32_MAX if reverse else NEG_BIG))
+    yact = jnp.where(inph & act, st["sy"], fillv)
+    yv = jnp.where(vvalid, (st["V"] - kk) >> 1, fillv)
+    have_act = (inph & act).any(axis=1)
+    if not reverse:
+        return jnp.where(have_act, jnp.min(yact, axis=1),
+                         jnp.min(yv, axis=1))
+    return jnp.where(have_act, jnp.max(yact, axis=1), jnp.max(yv, axis=1))
+
+
+def _anchor_math(abase, bbase, yref, low, hgh, LA, LB, W, BW, reverse):
+    """Window anchors + global boundary clip for a plane reload
+    (elementwise: serves make_reload's per-lane scalars and the persistent
+    kernel's (G,) vectors identically).  Returns (bs, as_, gbad, banchor,
+    kanchor)."""
+    AW = BW + 2 * W
+    soff = -1 if reverse else 0
+    if not reverse:
+        banchor0 = bbase + (yref - 4) + soff
+        kanchor = W * (low // W)
+        astart = banchor0 + (abase - bbase) + kanchor
+        bs = jnp.clip(banchor0, 0, LB - BW)
+        as_ = jnp.clip(astart, 0, LA - AW)
+        gbad = (bs != banchor0) | (as_ != astart)
+        banchor = bs
+    else:
+        banchor0 = bbase + (yref + 4) + soff
+        kanchor = W * ((hgh + W) // W)
+        atop = banchor0 + (abase - bbase) + kanchor
+        bs = jnp.clip(banchor0 - (BW - 1), 0, LB - BW)
+        as_ = jnp.clip(atop - (AW - 1), 0, LA - AW)
+        gbad = (bs != banchor0 - (BW - 1)) | (as_ != atop - (AW - 1))
+        banchor = bs + (BW - 1)
+    return bs, as_, gbad, banchor, kanchor
+
+
+def _rest_live_update(st, ach, bch, sr, reverse):
+    """REACH rest resolution from the two fetched boundary bytes (shared
+    post-fetch logic of the XLA driver body and the persistent kernel)."""
+    rest = (bch != 4) & (ach != 4)
+    if reverse:
+        go = st["lasta"] <= st["besta"] + TRIM_MLAG
+    else:
+        go = st["lasta"] >= st["besta"] - TRIM_MLAG
+    more = jnp.where(sr, rest.astype(i32), st["more"])
+    live = jnp.where(sr, (rest & go & (st["overflow"] == 0)).astype(i32),
+                     st["live"])
+    return more, live
+
+
 def make_reload(W, BW, reverse):
     """Per-lane plane (re)build from the big sequence arrays (XLA; ported
     from wave_jax._reload)."""
     AW = BW + 2 * W
-    soff = -1 if reverse else 0
     jidxr = jnp.arange(BW, dtype=i32)
     BIGC = i32(1 << 30)
 
     def reload(abase, bbase, yref, low, hgh, anyact, Aflat, Bflat):
         LB = Bflat.shape[0]
         LA = Aflat.shape[0]
+        bs, as_, gbad, banchor, kanchor = _anchor_math(
+            abase, bbase, yref, low, hgh, LA, LB, W, BW, reverse)
+        bad = anyact & gbad
         if not reverse:
-            banchor = bbase + (yref - 4) + soff
-            kanchor = W * (low // W)
-            astart = banchor + (abase - bbase) + kanchor
-            bs = jnp.clip(banchor, 0, LB - BW)
-            as_ = jnp.clip(astart, 0, LA - AW)
-            bad = anyact & ((bs != banchor) | (as_ != astart))
             bwin = jax.lax.dynamic_slice(Bflat, (bs,), (BW,))
             awin = jax.lax.dynamic_slice(Aflat, (as_,), (AW,))
-            banchor = bs
             offs = list(range(W))
         else:
-            banchor = bbase + (yref + 4) + soff
-            kanchor = W * ((hgh + W) // W)
-            atop = banchor + (abase - bbase) + kanchor
-            bs = jnp.clip(banchor - (BW - 1), 0, LB - BW)
-            as_ = jnp.clip(atop - (AW - 1), 0, LA - AW)
-            bad = anyact & ((bs != banchor - (BW - 1)) |
-                            (as_ != atop - (AW - 1)))
-            banchor = bs + (BW - 1)
             bwin = jnp.flip(jax.lax.dynamic_slice(Bflat, (bs,), (BW,)))
             awin = jnp.flip(jax.lax.dynamic_slice(Aflat, (as_,), (AW,)))
             offs = [W if s == 0 else W - s for s in range(W)]
@@ -1134,36 +1183,10 @@ def make_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
                                  Bflat.shape[0] - 1)]
             ach = Aflat[jnp.clip(st["abase"] + xb + soff, 0,
                                  Aflat.shape[0] - 1)]
-            rest = (bch != 4) & (ach != 4)
-            if reverse:
-                go = st["lasta"] <= st["besta"] + TRIM_MLAG
-            else:
-                go = st["lasta"] >= st["besta"] - TRIM_MLAG
-            more = jnp.where(sr, rest.astype(i32), st["more"])
-            live = jnp.where(
-                sr, (rest & go & (st["overflow"] == 0)).astype(i32),
-                st["live"])
+            more, live = _rest_live_update(st, ach, bch, sr, reverse)
 
-            # rebuild planes for every live lane (cheap; planes are
-            # caches).  Anchor mid-snake lanes at their ACTIVE snake
-            # positions only - mixing in the committed band's older y
-            # values anchors the window too low and livelocks the stall
-            act = st["sact"] == 1
-            inph = (st["phase"] == 1)[:, None]
-            fillv = INT32_MAX if not reverse else -INT32_MAX
-            kk = st["low"][:, None] + jnp.remainder(
-                jnp.arange(W, dtype=i32)[None] - st["low"][:, None], W)
-            inb = kk <= st["hgh"][:, None]
-            vvalid = inb & (st["V"] != (INT32_MAX if reverse else NEG_BIG))
-            yact = jnp.where(inph & act, st["sy"], fillv)
-            yv = jnp.where(vvalid, (st["V"] - kk) >> 1, fillv)
-            have_act = (inph & act).any(axis=1)
-            if not reverse:
-                yref = jnp.where(have_act, jnp.min(yact, axis=1),
-                                 jnp.min(yv, axis=1))
-            else:
-                yref = jnp.where(have_act, jnp.max(yact, axis=1),
-                                 jnp.max(yv, axis=1))
+            # rebuild planes for every live lane (cheap; planes are caches)
+            yref = _yref_of(st, W, reverse)
             (msN, mbN, maN, msW, mbW, maW, banchor, kanchor,
              bad) = jax.vmap(
                 reload_, in_axes=(0, 0, 0, 0, 0, 0, None, None)
@@ -1329,46 +1352,18 @@ def make_persistent_kernel(W, P, BW, DBUF, G, reverse, maxit=0):
             ga_loc = jnp.clip(ga_loc, 0, Lwa - 1)
             gb_loc = jnp.clip(gb_loc, 0, Lwb - 1)
 
-            # ---- plane reload anchors (driver transplant) ----
-            act = st["sact"] == 1
-            inph = (st["phase"] == 1)[:, None]
-            fillv = INT32_MAX if not reverse else -INT32_MAX
-            kk = st["low"][:, None] + jnp.remainder(
-                slots1 - st["low"][:, None], W)
-            inb = kk <= st["hgh"][:, None]
-            vvalid = inb & (st["V"] != (INT32_MAX if reverse else NEG_BIG))
-            yact = jnp.where(inph & act, st["sy"], fillv)
-            yv = jnp.where(vvalid, (st["V"] - kk) >> 1, fillv)
-            have_act = (inph & act).any(axis=1)
+            # ---- plane reload anchors (shared with the XLA driver) ----
+            yref = _yref_of(st, W, reverse)
+            bs, as_, gbad, banchor, kanchor = _anchor_math(
+                st["abase"], st["bbase"], yref, st["low"], st["hgh"],
+                LA, LB, W, BW, reverse)
+            # map the global anchors into the lane's VMEM window
             if not reverse:
-                yref = jnp.where(have_act, jnp.min(yact, axis=1),
-                                 jnp.min(yv, axis=1))
-            else:
-                yref = jnp.where(have_act, jnp.max(yact, axis=1),
-                                 jnp.max(yv, axis=1))
-
-            # ---- window-coordinate reload (make_reload transplant) ----
-            if not reverse:
-                banchor0 = st["bbase"] + (yref - 4) + soff
-                kanchor = W * (st["low"] // W)
-                astart = banchor0 + (st["abase"] - st["bbase"]) + kanchor
-                bs = jnp.clip(banchor0, 0, LB - BW)
-                as_ = jnp.clip(astart, 0, LA - AW)
-                gbad = (bs != banchor0) | (as_ != astart)
                 lbs = bs - st["bwst"]
                 las = as_ - st["awst"]
-                banchor = bs
             else:
-                banchor0 = st["bbase"] + (yref + 4) + soff
-                kanchor = W * ((st["hgh"] + W) // W)
-                atop = banchor0 + (st["abase"] - st["bbase"]) + kanchor
-                bs = jnp.clip(banchor0 - (BW - 1), 0, LB - BW)
-                as_ = jnp.clip(atop - (AW - 1), 0, LA - AW)
-                gbad = (bs != banchor0 - (BW - 1)) | \
-                       (as_ != atop - (AW - 1))
                 lbs = st["bwst"] + Lwb - BW - bs
                 las = st["awst"] + Lwa - AW - as_
-                banchor = bs + (BW - 1)
             wmiss = (lbs < 0) | (lbs > Lwb - BW) | \
                     (las < 0) | (las > Lwa - AW)
             lbs = jnp.clip(lbs, 0, Lwb - BW)
@@ -1389,15 +1384,7 @@ def make_persistent_kernel(W, P, BW, DBUF, G, reverse, maxit=0):
                     aseq3, bseq3, las, lbs, ga_loc, gb_loc)
 
             # ---- finish the rest resolution with the fetched bytes ----
-            rest = (bch != 4) & (ach != 4)
-            if reverse:
-                go = st["lasta"] <= st["besta"] + TRIM_MLAG
-            else:
-                go = st["lasta"] >= st["besta"] - TRIM_MLAG
-            more = jnp.where(sr, rest.astype(i32), st["more"])
-            live = jnp.where(
-                sr, (rest & go & (st["overflow"] == 0)).astype(i32),
-                st["live"])
+            more, live = _rest_live_update(st, ach, bch, sr, reverse)
             overflow = jnp.where(rest_miss, 1, st["overflow"])
             live = jnp.where(rest_miss, 0, live)
 
@@ -1408,7 +1395,9 @@ def make_persistent_kernel(W, P, BW, DBUF, G, reverse, maxit=0):
 
             # ---- build the 3D code planes from the fetched windows ----
             aw2 = jnp.broadcast_to(awin[:, None, :], (G_, W, AW))
-            for j in range(7):
+            # stage count covers the largest rowbits entry (== W for the
+            # reverse wave's slot 0), not a hardcoded band width
+            for j in range(int(W).bit_length()):
                 stepm = (rowbits >> j) & 1 == 1
                 aw2 = jnp.where(stepm, jnp.roll(aw2, -(1 << j), axis=2),
                                 aw2)
