@@ -168,6 +168,41 @@ def test_e2e_pallas_wave_backend(tmp_path):
     assert not d, d
 
 
+def test_e2e_chimeric_reads(tmp_path):
+    """Chimeric reads (two distant loci joined in one read) must split
+    into the same per-segment chains as the reference: exercises the
+    reporter's zone machinery (Entwine/zone splitting, BASELINE config-4
+    'chimeric chain splitting') rather than single-locus piles."""
+    rng = np.random.default_rng(31)
+    glen, ncontigs = 120_000, 3
+    genome = helpers.sim_genome(rng, glen)
+    clen = glen // ncontigs
+    entries = [fasta.FastaEntry(f"ctg{i}", genome[i * clen:(i + 1) * clen])
+               for i in range(ncontigs)]
+    reads = []
+    for _ in range(12):
+        # two halves from different contigs / distant loci
+        ca, cb = rng.choice(ncontigs, size=2, replace=False)
+        ra, *_ = helpers.sim_read(rng, entries[int(ca)].seq,
+                                  min_len=1500, max_len=3000)
+        rb, *_ = helpers.sim_read(rng, entries[int(cb)].seq,
+                                  min_len=1500, max_len=3000)
+        reads.append(ra + rb)
+    dbio.create_dam(str(tmp_path / "ref.dam"), entries, bsize=70_000)
+    dbio.create_db(str(tmp_path / "reads.db"),
+                   [fasta.FastaEntry(f"r{i}", r)
+                    for i, r in enumerate(reads)])
+    (tmp_path / "ours").mkdir()
+    grecs, orecs = run_both(tmp_path, ["-k20", "-T4"], DamapperConfig())
+    assert len(grecs) > 0
+    # a chimera maps as >1 disjoint chain for the same read
+    from collections import Counter
+    per_read = Counter(r.aread for r in grecs)
+    assert max(per_read.values()) > 1, "dataset failed to produce chimeras"
+    d = diff_las(grecs, orecs)
+    assert not d, d
+
+
 def test_e2e_persistent_wave_backend(tmp_path, monkeypatch):
     """The persistent wave driver (reload loop inside the kernel) through
     the FULL mapper must reproduce the reference .las (XLA twin on the
