@@ -1291,7 +1291,6 @@ def make_persistent_kernel(W, P, BW, DBUF, G, reverse, maxit=0):
     seg = make_segment(W, BW, P, DBUF, reverse, planes3d=True)
     soff = -1 if reverse else 0
     AW = BW + 2 * W
-    sgn = -1 if reverse else 1
     BIGC = np.int32(1 << 30)    # np scalar: a jnp 0-d would be a captured
     #                             constant, which pallas kernels reject
 
@@ -1306,7 +1305,6 @@ def make_persistent_kernel(W, P, BW, DBUF, G, reverse, maxit=0):
         siota3 = jax.lax.broadcasted_iota(i32, (1, W, 1), 1)
         rowbits = (siota3 if not reverse
                    else jnp.where(siota3 == 0, W, W - siota3))
-        slots1 = jax.lax.broadcasted_iota(i32, (1, W), 1)
 
         def lane_windows(aseq3_g, bseq3_g, las, lbs, ga_loc, gb_loc):
             """Per-lane: a/b reload windows + the two REST bytes."""
