@@ -804,7 +804,7 @@ class WaveEngine:
     BUCKET = int(os.environ.get("DAMAPPER_WAVE_BUCKET", 256))
 
     def _run(self, which, abase, bbase, mida, k0, aoffp, boffp,
-             Aflat, Bflat) -> WaveResult:
+             Aflat, Bflat, sortkey=None) -> WaveResult:
         P = self._activeP
         fn = self._get_fns(P)[0 if which == "fwd" else 1]
         n = len(abase)
@@ -813,6 +813,16 @@ class WaveEngine:
             return WaveResult(*([z] * 11),
                               np.zeros((0, P, 4), np.int32),
                               z, np.zeros(0, bool), z)
+        # lifetime-sorted lane scheduling: kernel groups of G lanes run in
+        # lockstep, so a group costs as many iterations as its LONGEST lane.
+        # Ordering lanes by a max-extension proxy makes groups homogeneous
+        # (the permutation is undone on output, so results are unchanged).
+        order = None
+        if (sortkey is not None and n > 8
+                and os.environ.get("DAMAPPER_WAVE_SORT", "1") == "1"):
+            order = np.argsort(np.asarray(sortkey), kind="stable")
+            inv = np.empty(n, np.int64)
+            inv[order] = np.arange(n)
         # bucket = next power of two, capped at BUCKET; larger batches are
         # chunked.  Bounds the number of distinct compiled shapes while
         # keeping small batches cheap.  Sharded engines need lanes divisible
@@ -824,6 +834,8 @@ class WaveEngine:
             B = -(-B // self._ndp) * self._ndp
         args = [np.asarray(x, np.int32)
                 for x in (abase, bbase, mida, k0, aoffp, boffp)]
+        if order is not None:
+            args = [x[order] for x in args]
         # degenerate filler seed: a wave anchored on the leading sentinel
         # (seq[0] == 4) terminates after one wave, so padded lanes stall
         # their group immediately instead of redundantly recomputing lane 0
@@ -862,6 +874,8 @@ class WaveEngine:
                            for f, v in unpacked.items()})
         merged = {f: np.concatenate([c[f] for c in chunks])
                   for f in chunks[0]}
+        if order is not None:
+            merged = {f: v[inv] for f, v in merged.items()}
         self.total_waves += int(merged["waves"].sum())
         return WaveResult(**merged)
 
@@ -905,8 +919,11 @@ class WaveEngine:
         aoffp = np.where(flags & _host.ACOMP_FLAG, alen % TS, 0).astype(np.int32)
         boffp = np.where(flags & _host.COMP_FLAG, blen % TS, 0).astype(np.int32)
 
+        x0 = (anti + diag) // 2
+        y0 = (anti - diag) // 2
         f = self._run("fwd", abase, bbase, anti, diag, aoffp, boffp,
-                      Aflat, Bflat)
+                      Aflat, Bflat,
+                      sortkey=np.minimum(alen - x0, blen - y0))
 
         apaths = [None] * n
         fwd_a = [None] * n
@@ -929,7 +946,9 @@ class WaveEngine:
             low2[i] = lowi
 
         r = self._run("rev", abase, bbase, anti, low2, aoffp, boffp,
-                      Aflat, Bflat)
+                      Aflat, Bflat,
+                      sortkey=np.minimum((anti + low2) // 2,
+                                         (anti - low2) // 2))
         for i in range(n):
             if i in fallback:
                 continue
@@ -972,7 +991,9 @@ class WaveEngine:
             a2 = np.array([apaths[i].abpos + apaths[i].bbpos for i in redo_f],
                           np.int32)
             f2 = self._run("fwd", abase[idx], bbase[idx], a2, d2,
-                           aoffp[idx], boffp[idx], Aflat, Bflat)
+                           aoffp[idx], boffp[idx], Aflat, Bflat,
+                           sortkey=np.minimum(alen[idx] - (a2 + d2) // 2,
+                                              blen[idx] - (a2 - d2) // 2))
             for j, i in enumerate(redo_f):
                 if f2.overflow[j]:
                     fallback.add(i)
@@ -994,7 +1015,9 @@ class WaveEngine:
             a2 = np.array([apaths[i].aepos + apaths[i].bepos for i in redo_r],
                           np.int32)
             r2 = self._run("rev", abase[idx], bbase[idx], a2, d2,
-                           aoffp[idx], boffp[idx], Aflat, Bflat)
+                           aoffp[idx], boffp[idx], Aflat, Bflat,
+                           sortkey=np.minimum((a2 + d2) // 2,
+                                              (a2 - d2) // 2))
             for j, i in enumerate(redo_r):
                 if r2.overflow[j]:
                     fallback.add(i)
