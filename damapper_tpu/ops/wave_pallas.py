@@ -168,17 +168,122 @@ def _mk_packer(W, BWW, scalar_names, with_planes):
 
 
 # ---------------------------------------------------------------------------
+# lane-packed state plumbing (DAMAPPER_WAVE_LANEPACK=1): (B, ...) unpacked
+# driver state <-> (B//2, ...) lane-packed kernel state.  XLA-side reshapes
+# only; the kernel sees two wave lanes per vreg row (see make_segment).
+# ---------------------------------------------------------------------------
+
+
+def _lp_pack_state(st, W):
+    out = {}
+    for nm, v in st.items():
+        if nm == "dbuf":
+            B, D, C = v.shape
+            out[nm] = v.reshape(B // 2, 2, D, C).transpose(0, 2, 1, 3) \
+                       .reshape(B // 2, D, 2 * C)
+        elif nm in PLANES:
+            B, QW = v.shape
+            Q = QW // W
+            out[nm] = v.reshape(B // 2, 2, Q, W).transpose(0, 2, 1, 3) \
+                       .reshape(B // 2, Q * 2 * W)
+        elif v.ndim == 1:               # per-lane scalar -> half-broadcast
+            B = v.shape[0]
+            out[nm] = jnp.broadcast_to(v.reshape(B // 2, 2, 1),
+                                       (B // 2, 2, W)) \
+                         .reshape(B // 2, 2 * W)
+        else:                           # band row: lanes pair up side by side
+            B = v.shape[0]
+            out[nm] = v.reshape(B // 2, 2 * W)
+    return out
+
+
+def _lp_unpack_state(st, W):
+    out = {}
+    for nm, v in st.items():
+        if nm == "dbuf":
+            B2, D, C2 = v.shape
+            out[nm] = v.reshape(B2, D, 2, C2 // 2).transpose(0, 2, 1, 3) \
+                       .reshape(B2 * 2, D, C2 // 2)
+        elif nm in PLANES:
+            B2, QW2 = v.shape
+            Q = QW2 // (2 * W)
+            out[nm] = v.reshape(B2, Q, 2, W).transpose(0, 2, 1, 3) \
+                       .reshape(B2 * 2, Q * W)
+        elif nm in SCALARS:
+            B2 = v.shape[0]
+            out[nm] = v.reshape(B2, 2, W)[:, :, 0].reshape(B2 * 2)
+        else:
+            B2 = v.shape[0]
+            out[nm] = v.reshape(B2 * 2, v.shape[1] // 2)
+    return out
+
+
+def _mk_packer_lp(WR, BWW):
+    """Operand fusion for the lane-packed kernel: every state field is a
+    2D row (scalars included), so the whole state fits TWO aliased
+    operands (i32, u32) plus the drop buffer."""
+    i32_names = BAND_I32 + BAND_MSK + SCALARS
+    u32_names = BAND_U32
+    plane_names = PLANES
+
+    def pack(st):
+        bi = jnp.concatenate([st[nm] for nm in i32_names], axis=1)
+        bu = jnp.concatenate([st[nm] for nm in u32_names]
+                             + [st[nm] for nm in plane_names], axis=1)
+        return bi, bu
+
+    def unpack(bi, bu):
+        st = {}
+        off = 0
+        for nm in i32_names:
+            st[nm] = bi[:, off:off + WR]
+            off += WR
+        off = 0
+        for nm in u32_names:
+            st[nm] = bu[:, off:off + WR]
+            off += WR
+        for nm in plane_names:
+            st[nm] = bu[:, off:off + BWW * WR]
+            off += BWW * WR
+        return st
+
+    def store(bi_ref, bu_ref, res):
+        off = 0
+        for nm in i32_names:
+            bi_ref[:, off:off + WR] = res[nm]
+            off += WR
+        off = 0
+        for nm in u32_names:
+            bu_ref[:, off:off + WR] = res[nm]
+            off += WR
+        for nm in plane_names:
+            bu_ref[:, off:off + BWW * WR] = res[nm]
+            off += BWW * WR
+
+    return pack, unpack, store
+
+
+# ---------------------------------------------------------------------------
 # the segment step: pure jnp over (G, ...) arrays with scalar-cond whiles.
 # Runs identically under plain XLA (used by the CPU tests) and inside the
 # pallas kernel.
 # ---------------------------------------------------------------------------
 
 
-def make_segment(W, BW, P, DBUF, reverse, planes3d=False):
+def make_segment(W, BW, P, DBUF, reverse, planes3d=False, lanepack=False):
     Wm = W - 1
     sgn = -1 if reverse else 1
     BIGC = np.int32(1 << 30)
     plane_keys = PLANES3D if planes3d else PLANES
+    # lanepack: TWO wave lanes ride one vreg row.  Band arrays are
+    # (G, 2W) with lane 2g in columns [0, W) and lane 2g+1 in [W, 2W);
+    # per-lane scalars are HALF-BROADCAST rows of the same shape (every
+    # column of a half holds the lane's value, so scalar/band arithmetic
+    # stays elementwise); reductions become within-half butterflies and
+    # the ring rolls become within-half rolls.  At W=64 this fills the
+    # 128-lane vreg minor dim that the unpacked layout leaves half empty.
+    assert not (planes3d and lanepack)
+    WR = 2 * W if lanepack else W        # physical row width
 
     def seg(st, ts, pave, msc, dsc):
         TS = ts
@@ -189,15 +294,69 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False):
         _planes = {nm: st.pop(nm) for nm in plane_keys}
         # index vectors built in-trace (a pallas kernel cannot capture
         # closure arrays)
-        slots1 = jax.lax.broadcasted_iota(i32, (1, W), 1)
+        if lanepack:
+            slots1 = jax.lax.broadcasted_iota(i32, (1, WR), 1) & Wm
+        else:
+            slots1 = jax.lax.broadcasted_iota(i32, (1, W), 1)
         jidx = jax.lax.broadcasted_iota(i32, (1, 1, BW), 2)
         if not reverse:
             offN_vec = slots1
         else:
             offN_vec = jnp.where(slots1 == 0, W, W - slots1)
 
-        def b2(x):
-            return x[:, None]            # (G,) -> (G,1)
+        if lanepack:
+            def b2(x):                   # lane value is already a row
+                return x
+
+            def b2w(x):                  # lane value over the 2*WR drop row
+                return jnp.concatenate([x, x], axis=1)
+
+            def rollW(arr, s):           # circular roll within each W half
+                t = s % W
+                if t == 0:
+                    return arr
+                return jnp.where(slots1 >= t, jnp.roll(arr, t, axis=1),
+                                 jnp.roll(arr, t - W, axis=1))
+
+            def _butterfly(v, op):
+                s = 1
+                while s < W:
+                    v = op(v, rollW(v, s))
+                    s *= 2
+                return v
+
+            def rmax(v):
+                return _butterfly(v, jnp.maximum)
+
+            def rmin(v):
+                return _butterfly(v, jnp.minimum)
+
+            def rsum(v):
+                return _butterfly(v, jnp.add)
+
+            def rany(v):
+                return _butterfly(v.astype(i32), jnp.bitwise_or) != 0
+        else:
+            def b2(x):
+                return x[:, None]        # (G,) -> (G,1)
+
+            def b2w(x):
+                return x[:, None]
+
+            def rollW(arr, s):
+                return jnp.roll(arr, s, axis=1)
+
+            def rmax(v):
+                return jnp.max(v, axis=1)
+
+            def rmin(v):
+                return jnp.min(v, axis=1)
+
+            def rsum(v):
+                return jnp.sum(v, axis=1)
+
+            def rany(v):
+                return v.any(axis=1)
 
         def seg_cond(st):
             run = (st["live"] == 1) & (st["stall_reload"] == 0) & \
@@ -237,8 +396,7 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False):
                 is_sh = slots1 == sh
 
                 def at_slot(arr, sx):
-                    return jnp.sum(jnp.where(slots1 == sx, arr, 0), axis=1,
-                                   keepdims=True)
+                    return b2(rsum(jnp.where(slots1 == sx, arr, 0)))
 
                 V = jnp.where(sAb & (is_sl | is_sh), fill, V)
                 na_lo = at_slot(NA, b2((low + 1) & Wm))
@@ -251,8 +409,8 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False):
                                jnp.where(sAb & is_sh, nb_hi, NB))
 
                 Vm = jnp.where(in_band, V, fill)
-                ap = jnp.roll(Vm, -1, axis=1)
-                am = jnp.roll(Vm, 1, axis=1)
+                ap = rollW(Vm, -1)
+                am = rollW(Vm, 1)
                 ac = Vm
                 if not reverse:
                     lt = ac < am
@@ -269,8 +427,8 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False):
 
                 def pick3(arr):
                     return jnp.where(
-                        pickP, jnp.roll(arr, -1, axis=1),
-                        jnp.where(pickM, jnp.roll(arr, 1, axis=1), arr))
+                        pickP, rollW(arr, -1),
+                        jnp.where(pickM, rollW(arr, 1), arr))
 
                 m0 = pick3(st["M"])
                 thi0 = pick3(st["Thi"])
@@ -328,7 +486,7 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False):
             # the whole lane on any invalid slot can deadlock when the
             # active span exceeds one window)
             usable = act & ~inv
-            need_rl = inv.any(axis=1) & ~usable.any(axis=1)
+            need_rl = rany(inv) & ~rany(usable)
             stall_reload = jnp.where(sS & need_rl, 1, st["stall_reload"])
 
             oc = jnp.clip(o, 0, BW - 1)
@@ -360,8 +518,8 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False):
                 BWW = BW // 32
 
                 def word(nm_n, nm_w, q):
-                    wn = _planes[nm_n][:, q * W:(q + 1) * W]
-                    ww = _planes[nm_w][:, q * W:(q + 1) * W]
+                    wn = _planes[nm_n][:, q * WR:(q + 1) * WR]
+                    ww = _planes[nm_w][:, q * WR:(q + 1) * WR]
                     return jnp.where(wrapm, ww, wn)
 
                 BIGJ = i32(BW + 64)
@@ -411,20 +569,21 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False):
             sact = jnp.where(adv_done, 0, sact)
 
             # ---------------- phase B: complete the wave ---------------
-            snake_done = sS & ~need_rl & ~((sact == 1).any(axis=1))
+            snake_done = sS & ~need_rl & ~rany(sact == 1)
             sBb = b2(snake_done)
+            sBw = b2w(snake_done)
             y = sy
             c = (y << 1) + k
             clipA = (sca == 1) & in_band
             clipB = (scb == 1) & in_band
-            clip_any = (clipA | clipB).any(axis=1)
+            clip_any = rany(clipA | clipB)
             more = jnp.where(snake_done & clip_any, 0, st["more"])
             if not reverse:
-                aclip = jnp.min(jnp.where(clipA, k, INT32_MAX), axis=1)
-                bclip = jnp.max(jnp.where(clipB, k, -INT32_MAX), axis=1)
+                aclip = rmin(jnp.where(clipA, k, INT32_MAX))
+                bclip = rmax(jnp.where(clipB, k, -INT32_MAX))
             else:
-                aclip = jnp.max(jnp.where(clipA, k, -INT32_MAX), axis=1)
-                bclip = jnp.min(jnp.where(clipB, k, INT32_MAX), axis=1)
+                aclip = rmax(jnp.where(clipA, k, -INT32_MAX))
+                bclip = rmin(jnp.where(clipB, k, INT32_MAX))
 
             # pebble drops into the segment buffer (pool indices stay
             # globally consistent via the carried avail counter)
@@ -446,48 +605,96 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False):
                     need_any = inb2w & (X2 <= N2)
                 else:
                     need_any = inb2w & (X2 >= N2)
-                return (need_any & sBb & (b2(dcnt) < DBUF)).any()
+                return (need_any & sBw & (b2w(dcnt) < DBUF)).any()
 
             def d_body(dst):
                 N2, H2, MK2, avail, dcnt, dbuf, ovfB = dst
-                lact = sBb & (b2(dcnt) < DBUF)
+                lact = sBw & (b2w(dcnt) < DBUF)
                 if reverse:
                     dact = lact & inb2w & (X2 <= N2)
                     need = dact & (MK2 > N2)
                 else:
                     dact = lact & inb2w & (X2 >= N2)
                     need = dact & (MK2 < N2)
-                # inclusive prefix sum via log-doubling (no cumsum in Mosaic)
-                cs = need.astype(i32)
-                sft = 1
-                while sft < 2 * W:
-                    rolled = jnp.roll(cs, sft, axis=1)
-                    okm = jax.lax.broadcasted_iota(
-                        i32, cs.shape, 1) >= sft
-                    cs = cs + jnp.where(okm, rolled, 0)
-                    sft *= 2
-                cnt = jnp.max(cs, axis=1)   # == cs[:, -1]; int indexing
+                if lanepack:
+                    # the drop row is [A-lane0 | A-lane1 | B-lane0 |
+                    # B-lane1] W-blocks; a lane's ranks run over its A
+                    # block then its B block, matching the unpacked
+                    # [A | B] column order exactly (pool indices must be
+                    # bit-identical).  All scans are within W blocks.
+                    diot = jax.lax.broadcasted_iota(i32, need.shape, 1)
+                    dslots = diot & Wm
+                    ni = need.astype(i32)
+                    # inclusive prefix within each W block
+                    cs = ni
+                    sft = 1
+                    while sft < W:
+                        cs = cs + jnp.where(dslots >= sft,
+                                            jnp.roll(cs, sft, axis=1), 0)
+                        sft *= 2
+                    # block totals, block-broadcast (within-block butterfly)
+                    T = ni
+                    sft = 1
+                    while sft < W:
+                        T = T + jnp.where(dslots >= sft,
+                                          jnp.roll(T, sft, axis=1),
+                                          jnp.roll(T, sft - W, axis=1))
+                        sft *= 2
+                    TA2B = jnp.roll(T, WR, axis=1)  # A-blk h <-> B-blk h
+                    cs = cs + jnp.where(diot >= WR, TA2B, 0)
+                    cnt = (T + TA2B)[:, :WR]        # per-lane total, rows
+                else:
+                    # inclusive prefix sum via log-doubling (no cumsum in
+                    # Mosaic)
+                    cs = need.astype(i32)
+                    sft = 1
+                    while sft < 2 * W:
+                        rolled = jnp.roll(cs, sft, axis=1)
+                        okm = jax.lax.broadcasted_iota(
+                            i32, cs.shape, 1) >= sft
+                        cs = cs + jnp.where(okm, rolled, 0)
+                        sft *= 2
+                    cnt = jnp.max(cs, axis=1)   # == cs[:, -1]; int indexing
                 ridx = cs - 1               # lowers to dynamic_slice in
                 #                             Mosaic, reductions do not
-                pidx = b2(avail) + ridx             # global pool index
+                pidx = b2w(avail) + ridx            # global pool index
                 H2n = jnp.where(need, pidx, H2)
                 MK2n = jnp.where(need, N2, MK2)
                 # append the needed rows at dbuf[dcnt + rank]; ranks are
                 # consecutive, so iterate a small static cap (no scatter)
                 rows = jnp.stack([H2, k2w, jnp.broadcast_to(
-                    b2(dif), H2.shape), N2], axis=2)        # (G, 2W, 4)
+                    b2w(dif), H2.shape), N2], axis=2)       # (G, 2W, 4)
                 diota = jax.lax.broadcasted_iota(i32, (1, DBUF), 1)
                 newbuf = dbuf
-                for rr in range(8):
-                    has = cnt > rr
-                    sel = (need & (ridx == rr)).astype(i32)  # one slot
-                    row = jnp.sum(jnp.where(sel[:, :, None] != 0, rows, 0),
-                                  axis=1)                    # (G, 4)
-                    at = b2(dcnt) + rr
-                    mask = ((diota == at) &
-                            (b2(has.astype(i32)) != 0)).astype(i32)
-                    newbuf = jnp.where(mask[:, :, None] != 0,
-                                       row[:, None, :], newbuf)
+                if lanepack:
+                    lane0c = ((jax.lax.broadcasted_iota(
+                        i32, need.shape, 1) // W) & 1) == 0
+                    l0 = lane0c[:, :, None]
+                    cidx8 = jax.lax.broadcasted_iota(i32, (1, 1, 8), 2)
+                    for rr in range(8):
+                        selz = (need & (ridx == rr))[:, :, None]
+                        r0 = jnp.sum(jnp.where(selz & l0, rows, 0), axis=1)
+                        r1 = jnp.sum(jnp.where(selz & ~l0, rows, 0), axis=1)
+                        rfull = jnp.concatenate([r0, r1], axis=1)  # (G, 8)
+                        m0 = ((diota == dcnt[:, 0:1] + rr) &
+                              (cnt[:, 0:1] > rr))[:, :, None] & (cidx8 < 4)
+                        m1 = ((diota == dcnt[:, W:W + 1] + rr) &
+                              (cnt[:, W:W + 1] > rr))[:, :, None] & \
+                            (cidx8 >= 4)
+                        newbuf = jnp.where(m0 | m1, rfull[:, None, :],
+                                           newbuf)
+                else:
+                    for rr in range(8):
+                        has = cnt > rr
+                        sel = (need & (ridx == rr)).astype(i32)  # one slot
+                        row = jnp.sum(jnp.where(sel[:, :, None] != 0,
+                                                rows, 0),
+                                      axis=1)                    # (G, 4)
+                        at = b2(dcnt) + rr
+                        mask = ((diota == at) &
+                                (b2(has.astype(i32)) != 0)).astype(i32)
+                        newbuf = jnp.where(mask[:, :, None] != 0,
+                                           row[:, None, :], newbuf)
                 done8 = jnp.minimum(cnt, 8)
                 # slots with rank >= 8 wait for the next trip
                 processed = need & (ridx < 8)
@@ -503,12 +710,12 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False):
             (N2, H2, MK2, avail, dcnt, dbuf, ovfB) = \
                 jax.lax.while_loop(d_cond, d_body,
                                    (N2, H2, MK2, avail, dcnt, dbuf, ovfB))
-            NA = jnp.where(sBb, N2[:, :W], NA)
-            NB = jnp.where(sBb, N2[:, W:], NB)
-            wha = jnp.where(sBb, H2[:, :W], wha)
-            whb = jnp.where(sBb, H2[:, W:], whb)
-            wma = jnp.where(sBb, MK2[:, :W], wma)
-            wmb = jnp.where(sBb, MK2[:, W:], wmb)
+            NA = jnp.where(sBb, N2[:, :WR], NA)
+            NB = jnp.where(sBb, N2[:, WR:], NB)
+            wha = jnp.where(sBb, H2[:, :WR], wha)
+            whb = jnp.where(sBb, H2[:, WR:], whb)
+            wma = jnp.where(sBb, MK2[:, :WR], wma)
+            wmb = jnp.where(sBb, MK2[:, WR:], wmb)
 
             # best/trim triggers in slot space (two-segment scans),
             # gated on any lane completing a wave this iteration: the
@@ -548,7 +755,7 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False):
                     cL = jnp.where(in_band & ~maskU, c, NEG_BIG)
                     sufU = revcummax(cU)
                     sufL = revcummax(cL)
-                    maxL = jnp.max(cL, axis=1, keepdims=True)
+                    maxL = b2(rmax(cL))
                     sufU_x = jnp.where(slots1 < W - 1,
                                        jnp.roll(sufU, -1, axis=1), NEG_BIG)
                     sufL_x = jnp.where(slots1 < W - 1,
@@ -558,13 +765,13 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False):
                     runbase = jnp.maximum(b2(besta), suf_excl)
                     trigger = in_band & (c > runbase)
                     new_besta = jnp.maximum(
-                        besta, jnp.max(jnp.where(in_band, c, NEG_BIG), axis=1))
+                        besta, rmax(jnp.where(in_band, c, NEG_BIG)))
                 else:
                     cU = jnp.where(in_band & maskU, c, INT32_MAX)
                     cL = jnp.where(in_band & ~maskU, c, INT32_MAX)
                     preU = cummin(cU)
                     preL = cummin(cL)
-                    minU = jnp.min(cU, axis=1, keepdims=True)
+                    minU = b2(rmin(cU))
                     preU_x = jnp.where(slots1 > 0,
                                        jnp.roll(preU, 1, axis=1), INT32_MAX)
                     preL_x = jnp.where(slots1 > 0,
@@ -574,8 +781,7 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False):
                     runbase = jnp.minimum(b2(besta), pre_excl)
                     trigger = in_band & (c < runbase)
                     new_besta = jnp.minimum(
-                        besta, jnp.min(jnp.where(in_band, c, INT32_MAX),
-                                       axis=1))
+                        besta, rmin(jnp.where(in_band, c, INT32_MAX)))
 
                 i1 = (stlo & 0x7FFF).astype(i32)
                 i2 = ((stlo >> 15) & 0x7FFF).astype(i32)
@@ -596,29 +802,27 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False):
 
                 if not reverse:
                     def chosen(msk):
-                        return jnp.min(jnp.where(msk, rel, W), axis=1,
-                                       keepdims=True)
+                        return b2(rmin(jnp.where(msk, rel, W)))
                 else:
                     def chosen(msk):
-                        return jnp.max(jnp.where(msk, rel, -1), axis=1,
-                                       keepdims=True)
+                        return b2(rmax(jnp.where(msk, rel, -1)))
 
                 def pick_at(msk, arr):
                     oneh = msk & (rel == chosen(msk))
-                    return jnp.sum(jnp.where(oneh, arr, 0), axis=1)
+                    return rsum(jnp.where(oneh, arr, 0))
 
-                any0 = trigger.any(axis=1)
+                any0 = rany(trigger)
                 besty = jnp.where(snake_done & any0, pick_at(trigger, y),
                                   st["besty"])
                 besta = jnp.where(snake_done, new_besta, besta)
 
                 trig_m = trigger & m_ok
-                any1 = trig_m.any(axis=1)
+                any1 = rany(trig_m)
                 lasta = jnp.where(snake_done & any1, pick_at(trig_m, c),
                                   st["lasta"])
 
                 trig_t = trig_m & tbl_ok
-                any2 = trig_t.any(axis=1)
+                any2 = rany(trig_t)
                 upd2 = snake_done & any2
                 trima = jnp.where(upd2, pick_at(trig_t, c), st["trima"])
                 trimy = jnp.where(upd2, pick_at(trig_t, y), st["trimy"])
@@ -666,10 +870,10 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False):
 
             def grab(kc, hit, morem, morea, morey, mored, moreha, morehb):
                 sel = k == b2(kc)
-                Mv = jnp.sum(jnp.where(sel, M, 0), axis=1)
-                Vv = jnp.sum(jnp.where(sel, V, 0), axis=1)
-                HAv = jnp.sum(jnp.where(sel, HA, 0), axis=1)
-                HBv = jnp.sum(jnp.where(sel, HB, 0), axis=1)
+                Mv = rsum(jnp.where(sel, M, 0))
+                Vv = rsum(jnp.where(sel, V, 0))
+                HAv = rsum(jnp.where(sel, HA, 0))
+                HBv = rsum(jnp.where(sel, HB, 0))
                 upd = hit & (morem <= Mv)
                 morem = jnp.where(upd, Mv, morem)
                 morea = jnp.where(upd, Vv, morea)
@@ -699,8 +903,8 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False):
             else:
                 ok = inb2 & (V <= b2(besta) + WAVE_LAG)
             okpos = jnp.where(ok & (rel <= b2(hgh - low)), rel, -1)
-            hi_rel = jnp.max(okpos, axis=1)
-            lo_rel = jnp.min(jnp.where(okpos >= 0, okpos, W), axis=1)
+            hi_rel = rmax(okpos)
+            lo_rel = rmin(jnp.where(okpos >= 0, okpos, W))
             have = hi_rel >= 0
             hgh = jnp.where(snake_done & have, low + hi_rel, hgh)
             low = jnp.where(snake_done & have,
@@ -1028,13 +1232,67 @@ def make_reload(W, BW, reverse):
 
 
 def make_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
-                interpret=False, packops=False):
+                interpret=False, packops=False, lanepack=False):
     seg = make_segment(W, BW, P, DBUF, reverse)
+    seg_lp = (make_segment(W, BW, P, DBUF, reverse, lanepack=True)
+              if lanepack else None)
     prologue = make_prologue(W, P, BW, DBUF, reverse)
     reload_ = make_reload(W, BW, reverse)
 
     def segment_xla(st, ts, pave, msc, dsc):
         return seg(st, ts, pave, msc, dsc)
+
+    def segment_xla_lp(st, ts, pave, msc, dsc):
+        # lane-packed XLA twin: exercises the packed kernel code on CPU
+        return _lp_unpack_state(
+            seg_lp(_lp_pack_state(st, W), ts, pave, msc, dsc), W)
+
+    def segment_pallas_lp(st, ts, pave, msc, dsc):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        B = st["V"].shape[0]
+        stp = _lp_pack_state(st, W)
+        B2 = B // 2
+        Gm = min(G, B2)
+        WR = 2 * W
+        pack, unpack, store = _mk_packer_lp(WR, BW // 32)
+        consts = jnp.stack([ts, pave, msc, dsc]).astype(i32)
+        bi, bu = pack(stp)
+        dbuf = stp["dbuf"]
+
+        def kernel(bi_r, bu_r, db_r, cn_r, obi, obu, odb):
+            stk = unpack(bi_r[...], bu_r[...])
+            stk["dbuf"] = db_r[...]
+            cns = cn_r[...]
+            res = seg_lp(stk, cns[0, 0], cns[0, 1], cns[0, 2], cns[0, 3])
+            store(obi, obu, res)
+            odb[...] = res["dbuf"]
+
+        def rowspec(arr):
+            w = arr.shape[1]
+            return pl.BlockSpec((Gm, w), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+
+        dspec = pl.BlockSpec((Gm, DBUF, 8), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        obi, obu, odb = pl.pallas_call(
+            kernel,
+            grid=(B2 // Gm,),
+            in_specs=[rowspec(bi), rowspec(bu), dspec,
+                      pl.BlockSpec((1, 4), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=(rowspec(bi), rowspec(bu), dspec),
+            out_shape=tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
+                            for a in (bi, bu, dbuf)),
+            input_output_aliases={0: 0, 1: 1, 2: 2},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(bi, bu, dbuf, consts[None, :])
+        res = unpack(obi, obu)
+        res["dbuf"] = odb
+        return _lp_unpack_state(res, W)
 
     def segment_pallas_packed(st, ts, pave, msc, dsc):
         from jax.experimental import pallas as pl
@@ -1147,8 +1405,11 @@ def make_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
             res[nm] = v[:, 0] if nm in SCALARS else v
         return res
 
-    segment = (segment_pallas_packed if packops else
-               segment_pallas) if use_pallas else segment_xla
+    if lanepack:
+        segment = segment_pallas_lp if use_pallas else segment_xla_lp
+    else:
+        segment = (segment_pallas_packed if packops else
+                   segment_pallas) if use_pallas else segment_xla
     soff = -1 if reverse else 0
     _maxit = int(os.environ.get("DAMAPPER_PALLAS_MAXIT", 0))
 
@@ -1701,7 +1962,7 @@ class PallasWaveEngine:
 
     def __new__(cls, spec, band_cap=64, pool_cap=2048, mesh=None,
                 use_pallas=None, interpret=False, group=None,
-                persistent=None):
+                persistent=None, lanepack=None):
         from . import wave_jax
 
         if use_pallas is None:
@@ -1716,6 +1977,11 @@ class PallasWaveEngine:
             persistent = os.environ.get(
                 "DAMAPPER_WAVE_PERSISTENT", "0") == "1"
         packops = os.environ.get("DAMAPPER_WAVE_PACKOPS", "0") == "1"
+        if lanepack is None:
+            lanepack = os.environ.get("DAMAPPER_WAVE_LANEPACK", "0") == "1"
+        # lanepack applies to the classic segment driver only (the
+        # persistent kernel's in-kernel reload is per-lane 3D)
+        lanepack = lanepack and not persistent
 
         class _Engine(wave_jax.WaveEngine):
             def _get_fns(self, P):
@@ -1723,7 +1989,7 @@ class PallasWaveEngine:
                 if key not in self._fns:
                     common = (self.W, P, self._BW, self._DBUF, group,
                               use_pallas, interpret, persistent, self._L,
-                              packops)
+                              packops, lanepack)
 
                     def mk(reverse):
                         if persistent:
@@ -1735,7 +2001,8 @@ class PallasWaveEngine:
                         return make_driver(
                             self.W, P, self._BW, self._DBUF, group,
                             reverse=reverse, use_pallas=use_pallas,
-                            interpret=interpret, packops=packops)
+                            interpret=interpret, packops=packops,
+                            lanepack=lanepack)
 
                     fwd = _cached_driver(common + (False,),
                                          lambda: mk(False))

@@ -108,15 +108,20 @@ def test_wave_jax_boundary_reach():
         assert list(eb.trace) == list(gb.trace)
 
 
-@pytest.mark.parametrize("seed,err", [(0, 0.15), (3, 0.30)])
-def test_wave_pallas_matches_oracle(seed, err):
+@pytest.mark.parametrize("seed,err,lanepack", [(0, 0.15, False),
+                                               (3, 0.30, False),
+                                               (0, 0.15, True),
+                                               (3, 0.30, True)])
+def test_wave_pallas_matches_oracle(seed, err, lanepack):
     """The segment-driver engine (pallas on TPU, identical XLA path on CPU)
-    must reproduce the oracle exactly, like the while-loop engine."""
+    must reproduce the oracle exactly, like the while-loop engine.
+    lanepack=True runs the two-lanes-per-vreg-row segment layout."""
     from damapper_tpu.ops.wave_pallas import PallasWaveEngine
 
     seqmem, insts = make_cases(1000 + seed, ncases=4, err=err)
     spec = new_align_spec(0.85, 100, [.25, .25, .25, .25], True)
-    eng = PallasWaveEngine(spec, band_cap=64, pool_cap=2048)
+    eng = PallasWaveEngine(spec, band_cap=64, pool_cap=2048,
+                           lanepack=lanepack)
     dev = jnp.asarray(seqmem)
     got = eng.local_alignment_batch(dev, dev, seqmem, seqmem, insts)
     for i, s in enumerate(insts):
@@ -131,19 +136,23 @@ def test_wave_pallas_matches_oracle(seed, err):
         assert list(eb.trace) == list(gb.trace), f"case {i} B trace"
 
 
-@pytest.mark.parametrize("packops", ["0", "1"])
-def test_wave_pallas_interpret_matches_oracle(packops, monkeypatch):
+@pytest.mark.parametrize("packops,lanepack", [("0", False), ("1", False),
+                                              ("0", True)])
+def test_wave_pallas_interpret_matches_oracle(packops, lanepack,
+                                              monkeypatch):
     """The actual pallas_call path in interpret mode (use_pallas=True on
     CPU): catches Mosaic-kernel regressions off-TPU, where the default
     engine silently takes the identical XLA route instead.  packops=1
-    additionally exercises the packed-operand plumbing."""
+    additionally exercises the packed-operand plumbing; lanepack the
+    two-lanes-per-vreg-row kernel layout."""
     from damapper_tpu.ops.wave_pallas import PallasWaveEngine
 
     monkeypatch.setenv("DAMAPPER_WAVE_PACKOPS", packops)
     seqmem, insts = make_cases(2000, ncases=2, err=0.15)
     spec = new_align_spec(0.85, 100, [.25, .25, .25, .25], True)
     eng = PallasWaveEngine(spec, band_cap=64, pool_cap=2048,
-                           use_pallas=True, interpret=True)
+                           use_pallas=True, interpret=True,
+                           lanepack=lanepack)
     dev = jnp.asarray(seqmem)
     got = eng.local_alignment_batch(dev, dev, seqmem, seqmem, insts)
     for i, s in enumerate(insts):

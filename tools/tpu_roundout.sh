@@ -25,6 +25,9 @@ DAMAPPER_WAVE_PACKOPS=1 timeout 600 python tools/wave_ab.py 64 6000 classic
 echo "== packed-operand persistent micro =="
 DAMAPPER_WAVE_PACKOPS=1 timeout 900 python tools/wave_ab.py 64 6000 persistent
 
+echo "== lane-packed classic micro (two lanes per vreg row) =="
+timeout 900 python tools/wave_ab.py 64 6000 lanepack
+
 echo "== A/B at batch scale =="
 timeout 900 python tools/wave_ab.py 256 6000
 

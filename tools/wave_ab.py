@@ -5,7 +5,7 @@ runs both PallasWaveEngine variants on the current backend, asserting
 record-identical results and printing per-lane timings.
 
 Usage:  python tools/wave_ab.py [ncases] [rlen] [mode]
-        mode: ab (default) | classic | persistent
+        mode: ab (default) | classic | persistent | lanepack
 On TPU this is the fastest way to measure the persistent kernel's launch
 economics without paying a whole pipeline run.
 """
@@ -58,11 +58,15 @@ def main():
     print(f"{ncases} lanes, reads ~{rlen}bp", flush=True)
 
     results = {}
-    for label, persistent in (("classic", False), ("persistent", True)):
+    for label, persistent, lanepack in (("classic", False, False),
+                                        ("persistent", True, False),
+                                        ("lanepack", False, True)):
+        if mode == "ab" and label == "lanepack":
+            continue
         if mode != "ab" and mode != label:
             continue
         eng = PallasWaveEngine(spec, band_cap=64, pool_cap=2048,
-                               persistent=persistent)
+                               persistent=persistent, lanepack=lanepack)
         eng.host_min = 0
         run(eng, dev, seqmem, insts, label + " (compile)")
         got, dt = run(eng, dev, seqmem, insts, label + " (warm)   ")
