@@ -209,7 +209,7 @@ def _lp_unpack_state(st, W):
             Q = QW2 // (2 * W)
             out[nm] = v.reshape(B2, Q, 2, W).transpose(0, 2, 1, 3) \
                        .reshape(B2 * 2, Q * W)
-        elif nm in SCALARS:
+        elif nm in PSCALARS:            # superset of SCALARS
             B2 = v.shape[0]
             out[nm] = v.reshape(B2, 2, W)[:, :, 0].reshape(B2 * 2)
         else:
@@ -218,13 +218,15 @@ def _lp_unpack_state(st, W):
     return out
 
 
-def _mk_packer_lp(WR, BWW):
+def _mk_packer_lp(WR, BWW, scalar_names=None, with_planes=True):
     """Operand fusion for the lane-packed kernel: every state field is a
     2D row (scalars included), so the whole state fits TWO aliased
     operands (i32, u32) plus the drop buffer."""
-    i32_names = BAND_I32 + BAND_MSK + SCALARS
+    if scalar_names is None:
+        scalar_names = SCALARS
+    i32_names = BAND_I32 + BAND_MSK + scalar_names
     u32_names = BAND_U32
-    plane_names = PLANES
+    plane_names = PLANES if with_planes else ()
 
     def pack(st):
         bi = jnp.concatenate([st[nm] for nm in i32_names], axis=1)
@@ -270,20 +272,98 @@ def _mk_packer_lp(WR, BWW):
 # ---------------------------------------------------------------------------
 
 
+def _mk_lane_ops(W, lanepack):
+    """Layout algebra shared by the segment body and the persistent-kernel
+    reload: per-lane broadcast, within-band ring rolls, and per-lane
+    reductions, for the unpacked (G, W) and lane-packed (G, 2W) layouts.
+
+    lanepack: TWO wave lanes ride one vreg row.  Band arrays are
+    (G, 2W) with lane 2g in columns [0, W) and lane 2g+1 in [W, 2W);
+    per-lane scalars are HALF-BROADCAST rows of the same shape (every
+    column of a half holds the lane's value, so scalar/band arithmetic
+    stays elementwise); reductions become within-half butterflies and
+    the ring rolls become within-half rolls.  At W=64 this fills the
+    128-lane vreg minor dim that the unpacked layout leaves half empty."""
+    Wm = W - 1
+    WR = 2 * W if lanepack else W
+
+    class L:
+        pass
+
+    if lanepack:
+        def slots():
+            return jax.lax.broadcasted_iota(i32, (1, WR), 1) & Wm
+
+        def b2(x):                   # lane value is already a row
+            return x
+
+        def b2w(x):                  # lane value over the 2*WR drop row
+            return jnp.concatenate([x, x], axis=1)
+
+        def rollW(arr, s):           # circular roll within each W half
+            t = s % W
+            if t == 0:
+                return arr
+            return jnp.where(slots() >= t, jnp.roll(arr, t, axis=1),
+                             jnp.roll(arr, t - W, axis=1))
+
+        def _butterfly(v, op):
+            s = 1
+            while s < W:
+                v = op(v, rollW(v, s))
+                s *= 2
+            return v
+
+        def rmax(v):
+            return _butterfly(v, jnp.maximum)
+
+        def rmin(v):
+            return _butterfly(v, jnp.minimum)
+
+        def rsum(v):
+            return _butterfly(v, jnp.add)
+
+        def rany(v):
+            return _butterfly(v.astype(i32), jnp.bitwise_or) != 0
+    else:
+        def slots():
+            return jax.lax.broadcasted_iota(i32, (1, W), 1)
+
+        def b2(x):
+            return x[:, None]        # (G,) -> (G,1)
+
+        def b2w(x):
+            return x[:, None]
+
+        def rollW(arr, s):
+            return jnp.roll(arr, s, axis=1)
+
+        def rmax(v):
+            return jnp.max(v, axis=1)
+
+        def rmin(v):
+            return jnp.min(v, axis=1)
+
+        def rsum(v):
+            return jnp.sum(v, axis=1)
+
+        def rany(v):
+            return v.any(axis=1)
+
+    L.WR, L.slots, L.b2, L.b2w, L.rollW = WR, slots, b2, b2w, rollW
+    L.rmax, L.rmin, L.rsum, L.rany = rmax, rmin, rsum, rany
+    return L
+
+
 def make_segment(W, BW, P, DBUF, reverse, planes3d=False, lanepack=False):
     Wm = W - 1
     sgn = -1 if reverse else 1
     BIGC = np.int32(1 << 30)
     plane_keys = PLANES3D if planes3d else PLANES
-    # lanepack: TWO wave lanes ride one vreg row.  Band arrays are
-    # (G, 2W) with lane 2g in columns [0, W) and lane 2g+1 in [W, 2W);
-    # per-lane scalars are HALF-BROADCAST rows of the same shape (every
-    # column of a half holds the lane's value, so scalar/band arithmetic
-    # stays elementwise); reductions become within-half butterflies and
-    # the ring rolls become within-half rolls.  At W=64 this fills the
-    # 128-lane vreg minor dim that the unpacked layout leaves half empty.
-    assert not (planes3d and lanepack)
-    WR = 2 * W if lanepack else W        # physical row width
+    lo = _mk_lane_ops(W, lanepack)
+    WR = lo.WR
+    b2, b2w, rollW = lo.b2, lo.b2w, lo.rollW
+    rmax, rmin, rsum, rany = lo.rmax, lo.rmin, lo.rsum, lo.rany
 
     def seg(st, ts, pave, msc, dsc):
         TS = ts
@@ -294,69 +374,12 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False, lanepack=False):
         _planes = {nm: st.pop(nm) for nm in plane_keys}
         # index vectors built in-trace (a pallas kernel cannot capture
         # closure arrays)
-        if lanepack:
-            slots1 = jax.lax.broadcasted_iota(i32, (1, WR), 1) & Wm
-        else:
-            slots1 = jax.lax.broadcasted_iota(i32, (1, W), 1)
+        slots1 = lo.slots()
         jidx = jax.lax.broadcasted_iota(i32, (1, 1, BW), 2)
         if not reverse:
             offN_vec = slots1
         else:
             offN_vec = jnp.where(slots1 == 0, W, W - slots1)
-
-        if lanepack:
-            def b2(x):                   # lane value is already a row
-                return x
-
-            def b2w(x):                  # lane value over the 2*WR drop row
-                return jnp.concatenate([x, x], axis=1)
-
-            def rollW(arr, s):           # circular roll within each W half
-                t = s % W
-                if t == 0:
-                    return arr
-                return jnp.where(slots1 >= t, jnp.roll(arr, t, axis=1),
-                                 jnp.roll(arr, t - W, axis=1))
-
-            def _butterfly(v, op):
-                s = 1
-                while s < W:
-                    v = op(v, rollW(v, s))
-                    s *= 2
-                return v
-
-            def rmax(v):
-                return _butterfly(v, jnp.maximum)
-
-            def rmin(v):
-                return _butterfly(v, jnp.minimum)
-
-            def rsum(v):
-                return _butterfly(v, jnp.add)
-
-            def rany(v):
-                return _butterfly(v.astype(i32), jnp.bitwise_or) != 0
-        else:
-            def b2(x):
-                return x[:, None]        # (G,) -> (G,1)
-
-            def b2w(x):
-                return x[:, None]
-
-            def rollW(arr, s):
-                return jnp.roll(arr, s, axis=1)
-
-            def rmax(v):
-                return jnp.max(v, axis=1)
-
-            def rmin(v):
-                return jnp.min(v, axis=1)
-
-            def rsum(v):
-                return jnp.sum(v, axis=1)
-
-            def rany(v):
-                return v.any(axis=1)
 
         def seg_cond(st):
             run = (st["live"] == 1) & (st["stall_reload"] == 0) & \
@@ -1114,26 +1137,26 @@ def make_prologue(W, P, BW, DBUF, reverse):
     return prologue
 
 
-def _yref_of(st, W, reverse):
+def _yref_of(st, W, reverse, lanepack=False):
     """Reload anchor y: the extreme reachable y over ACTIVE snake positions
     for mid-wave lanes (anchoring on the committed band's older y values
     anchors the window too low and livelocks the stall), else over the
     committed band.  SHARED between the XLA driver body and the persistent
     kernel — the two must anchor identically or their reloads diverge."""
+    lo = _mk_lane_ops(W, lanepack)
     act = st["sact"] == 1
-    inph = (st["phase"] == 1)[:, None]
+    inph = lo.b2(st["phase"] == 1)
     fillv = INT32_MAX if not reverse else -INT32_MAX
-    slots = jax.lax.broadcasted_iota(i32, (1, W), 1)
-    kk = st["low"][:, None] + jnp.remainder(slots - st["low"][:, None], W)
-    inb = kk <= st["hgh"][:, None]
+    slots = lo.slots()
+    kk = lo.b2(st["low"]) + jnp.remainder(slots - lo.b2(st["low"]), W)
+    inb = kk <= lo.b2(st["hgh"])
     vvalid = inb & (st["V"] != (INT32_MAX if reverse else NEG_BIG))
     yact = jnp.where(inph & act, st["sy"], fillv)
     yv = jnp.where(vvalid, (st["V"] - kk) >> 1, fillv)
-    have_act = (inph & act).any(axis=1)
+    have_act = lo.rany(inph & act)
     if not reverse:
-        return jnp.where(have_act, jnp.min(yact, axis=1),
-                         jnp.min(yv, axis=1))
-    return jnp.where(have_act, jnp.max(yact, axis=1), jnp.max(yv, axis=1))
+        return jnp.where(have_act, lo.rmin(yact), lo.rmin(yv))
+    return jnp.where(have_act, lo.rmax(yact), lo.rmax(yv))
 
 
 def _anchor_math(abase, bbase, yref, low, hgh, LA, LB, W, BW, reverse):
@@ -1543,27 +1566,35 @@ def _byte_at(seq3, loc):
     return jnp.sum(jnp.where(lane == l, row, 0))
 
 
-def make_persistent_kernel(W, P, BW, DBUF, G, reverse, maxit=0):
+def make_persistent_kernel(W, P, BW, DBUF, G, reverse, maxit=0,
+                           lanepack=False):
     """In-kernel driver loop: rest-resolve -> plane reload -> segment,
     until every lane is dead or dbuf-stalled.  Pure jnp over (G, ...)
     arrays; runs identically under plain XLA (vmap lane loop) and inside
-    the pallas kernel (unrolled lane loop)."""
+    the pallas kernel (unrolled lane loop).  With lanepack the state rides
+    two lanes per row (see _mk_lane_ops); the code planes become
+    (G, 2W, BW) with slot-halves sourced from each row's two lanes."""
     assert BW % 128 == 0 and (2 * W) % 128 == 0
-    seg = make_segment(W, BW, P, DBUF, reverse, planes3d=True)
+    seg = make_segment(W, BW, P, DBUF, reverse, planes3d=True,
+                       lanepack=lanepack)
     soff = -1 if reverse else 0
     AW = BW + 2 * W
+    WRk = 2 * W if lanepack else W       # physical slot-row width
     BIGC = np.int32(1 << 30)    # np scalar: a jnp 0-d would be a captured
     #                             constant, which pallas kernels reject
 
     def kernel_fn(st, aseq3, bseq3, LA, LB, ts, pave, msc, dsc,
                   unroll_lanes):
-        G_ = st["V"].shape[0]
+        G_ = st["V"].shape[0]            # rows (lane pairs when packed)
+        nlanes = 2 * G_ if lanepack else G_
         Lwa = aseq3.shape[-2] * 128
         Lwb = bseq3.shape[-2] * 128
         jidxr = jax.lax.broadcasted_iota(i32, (1, 1, BW), 2)
         # per-slot left-shift amounts of the a-window matrix (make_reload
         # offs), built as iotas: a pallas kernel cannot capture closures
-        siota3 = jax.lax.broadcasted_iota(i32, (1, W, 1), 1)
+        siota3 = jax.lax.broadcasted_iota(i32, (1, WRk, 1), 1)
+        if lanepack:
+            siota3 = siota3 & (W - 1)
         rowbits = (siota3 if not reverse
                    else jnp.where(siota3 == 0, W, W - siota3))
 
@@ -1612,7 +1643,7 @@ def make_persistent_kernel(W, P, BW, DBUF, G, reverse, maxit=0):
             gb_loc = jnp.clip(gb_loc, 0, Lwb - 1)
 
             # ---- plane reload anchors (shared with the XLA driver) ----
-            yref = _yref_of(st, W, reverse)
+            yref = _yref_of(st, W, reverse, lanepack)
             bs, as_, gbad, banchor, kanchor = _anchor_math(
                 st["abase"], st["bbase"], yref, st["low"], st["hgh"],
                 LA, LB, W, BW, reverse)
@@ -1628,19 +1659,65 @@ def make_persistent_kernel(W, P, BW, DBUF, G, reverse, maxit=0):
             lbs = jnp.clip(lbs, 0, Lwb - BW)
             las = jnp.clip(las, 0, Lwa - AW)
 
+            def lane_scalar(v, ll):
+                # logical lane ll's scalar from driver state (static index)
+                return v[ll // 2, (ll % 2) * W] if lanepack else v[ll]
+
             if unroll_lanes:
-                parts = [lane_windows(aseq3[g], bseq3[g], las[g], lbs[g],
-                                      ga_loc[g], gb_loc[g])
-                         for g in range(G_)]
-                awin = jnp.concatenate(
-                    [p[0][None] for p in parts], axis=0)
-                bwin = jnp.concatenate(
-                    [p[1][None] for p in parts], axis=0)
-                ach = jnp.stack([p[2] for p in parts])
-                bch = jnp.stack([p[3] for p in parts])
+                parts = [lane_windows(aseq3[ll], bseq3[ll],
+                                      lane_scalar(las, ll),
+                                      lane_scalar(lbs, ll),
+                                      lane_scalar(ga_loc, ll),
+                                      lane_scalar(gb_loc, ll))
+                         for ll in range(nlanes)]
+                if lanepack:
+                    # half-broadcast byte rows + per-half windows, built
+                    # without reshapes (Mosaic-hostile on non-minor dims)
+                    rowio = jax.lax.broadcasted_iota(i32, (G_, WRk), 0)
+                    halfio = jax.lax.broadcasted_iota(
+                        i32, (G_, WRk), 1) // W
+                    ach = jnp.zeros((G_, WRk), i32)
+                    bch = jnp.zeros((G_, WRk), i32)
+                    for ll in range(nlanes):
+                        lm = (rowio == ll // 2) & (halfio == ll % 2)
+                        ach = jnp.where(lm, parts[ll][2], ach)
+                        bch = jnp.where(lm, parts[ll][3], bch)
+                    awinA = jnp.concatenate(
+                        [parts[2 * g][0][None] for g in range(G_)], axis=0)
+                    awinB = jnp.concatenate(
+                        [parts[2 * g + 1][0][None] for g in range(G_)],
+                        axis=0)
+                    bwinA = jnp.concatenate(
+                        [parts[2 * g][1][None] for g in range(G_)], axis=0)
+                    bwinB = jnp.concatenate(
+                        [parts[2 * g + 1][1][None] for g in range(G_)],
+                        axis=0)
+                else:
+                    awin = jnp.concatenate(
+                        [p[0][None] for p in parts], axis=0)
+                    bwin = jnp.concatenate(
+                        [p[1][None] for p in parts], axis=0)
+                    ach = jnp.stack([p[2] for p in parts])
+                    bch = jnp.stack([p[3] for p in parts])
             else:
-                awin, bwin, ach, bch = jax.vmap(lane_windows)(
-                    aseq3, bseq3, las, lbs, ga_loc, gb_loc)
+                if lanepack:
+                    def flat(v):
+                        return v.reshape(G_, 2, W)[:, :, 0].reshape(nlanes)
+
+                    awin, bwin, achf, bchf = jax.vmap(lane_windows)(
+                        aseq3, bseq3, flat(las), flat(lbs),
+                        flat(ga_loc), flat(gb_loc))
+                    ach = jnp.broadcast_to(achf.reshape(G_, 2, 1),
+                                           (G_, 2, W)).reshape(G_, WRk)
+                    bch = jnp.broadcast_to(bchf.reshape(G_, 2, 1),
+                                           (G_, 2, W)).reshape(G_, WRk)
+                    awinA = awin.reshape(G_, 2, AW)[:, 0]
+                    awinB = awin.reshape(G_, 2, AW)[:, 1]
+                    bwinA = bwin.reshape(G_, 2, BW)[:, 0]
+                    bwinB = bwin.reshape(G_, 2, BW)[:, 1]
+                else:
+                    awin, bwin, ach, bch = jax.vmap(lane_windows)(
+                        aseq3, bseq3, las, lbs, ga_loc, gb_loc)
 
             # ---- finish the rest resolution with the fetched bytes ----
             more, live = _rest_live_update(st, ach, bch, sr, reverse)
@@ -1653,7 +1730,18 @@ def make_persistent_kernel(W, P, BW, DBUF, G, reverse, maxit=0):
             live = jnp.where(bad, 0, live)
 
             # ---- build the 3D code planes from the fetched windows ----
-            aw2 = jnp.broadcast_to(awin[:, None, :], (G_, W, AW))
+            if lanepack:
+                aw2 = jnp.concatenate(
+                    [jnp.broadcast_to(awinA[:, None, :], (G_, W, AW)),
+                     jnp.broadcast_to(awinB[:, None, :], (G_, W, AW))],
+                    axis=1)                            # (G_, 2W, AW)
+                bw3 = jnp.concatenate(
+                    [jnp.broadcast_to(bwinA[:, None, :], (G_, W, BW)),
+                     jnp.broadcast_to(bwinB[:, None, :], (G_, W, BW))],
+                    axis=1)                            # (G_, 2W, BW)
+            else:
+                aw2 = jnp.broadcast_to(awin[:, None, :], (G_, W, AW))
+                bw3 = bwin[:, None, :]
             # stage count covers the largest rowbits entry (== W for the
             # reverse wave's slot 0), not a hardcoded band width
             for j in range(int(W).bit_length()):
@@ -1662,11 +1750,11 @@ def make_persistent_kernel(W, P, BW, DBUF, G, reverse, maxit=0):
                                 aw2)
             awN = aw2[:, :, :BW]
             awW = aw2[:, :, W:W + BW]
-            b4 = (bwin == 4)[:, None, :]
+            b4 = bw3 == 4
             b4i = b4.astype(i32)
 
             def code(aw):
-                stop = b4 | (bwin[:, None, :] != aw)
+                stop = b4 | (bw3 != aw)
                 val = ((jidxr << 2) | (b4i << 1) | (aw == 4).astype(i32))
                 return jnp.where(stop, val, BIGC)
 
@@ -1680,8 +1768,8 @@ def make_persistent_kernel(W, P, BW, DBUF, G, reverse, maxit=0):
             return st
 
         st = dict(st,
-                  codeN=jnp.zeros((G_, W, BW), i32),
-                  codeW=jnp.zeros((G_, W, BW), i32),
+                  codeN=jnp.zeros((G_, WRk, BW), i32),
+                  codeW=jnp.zeros((G_, WRk, BW), i32),
                   _oit0=st["oit"])
         st = jax.lax.while_loop(ocond, obody, st)
         st.pop("codeN")
@@ -1693,17 +1781,77 @@ def make_persistent_kernel(W, P, BW, DBUF, G, reverse, maxit=0):
 
 
 def make_persistent_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
-                           interpret=False, packops=False):
+                           interpret=False, packops=False, lanepack=False):
     """prologue -> [persistent kernel; flush drop buffers]* -> outputs.
     The XLA loop body runs only when a lane's drop buffer filled (DBUF is
     sized so that is rare): typically ONE kernel launch per batch."""
     prologue = make_prologue(W, P, BW, DBUF, reverse)
     _maxit = int(os.environ.get("DAMAPPER_PALLAS_MAXIT", 0))
-    kfn = make_persistent_kernel(W, P, BW, DBUF, G, reverse, maxit=_maxit)
+    kfn = make_persistent_kernel(W, P, BW, DBUF, G, reverse, maxit=_maxit,
+                                 lanepack=lanepack)
 
     def kernel_xla(st, aseq3, bseq3, LA, LB, ts, pave, msc, dsc):
+        if lanepack:
+            return _lp_unpack_state(
+                kfn(_lp_pack_state(st, W), aseq3, bseq3, LA, LB,
+                    ts, pave, msc, dsc, unroll_lanes=False), W)
         return kfn(st, aseq3, bseq3, LA, LB, ts, pave, msc, dsc,
                    unroll_lanes=False)
+
+    def kernel_pallas_lp(st, aseq3, bseq3, LA, LB, ts, pave, msc, dsc):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        B = st["V"].shape[0]
+        stp = _lp_pack_state(st, W)
+        B2 = B // 2
+        Gm = min(G, B2)
+        WR = 2 * W
+        pack, unpack, store = _mk_packer_lp(WR, BW // 32, PSCALARS, False)
+        consts = jnp.stack([ts, pave, msc, dsc, LA, LB]).astype(i32)
+        bi, bu = pack(stp)
+        dbuf = stp["dbuf"]
+
+        def kernel(bi_r, bu_r, db_r, a_r, b_r, cn_r, obi, obu, odb):
+            stk = unpack(bi_r[...], bu_r[...])
+            stk["dbuf"] = db_r[...]
+            cns = cn_r[...]
+            res = kfn(stk, a_r[...], b_r[...], cns[0, 4], cns[0, 5],
+                      cns[0, 0], cns[0, 1], cns[0, 2], cns[0, 3],
+                      unroll_lanes=True)
+            store(obi, obu, res)
+            odb[...] = res["dbuf"]
+
+        def rowspec(arr):
+            w = arr.shape[1]
+            return pl.BlockSpec((Gm, w), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+
+        dspec = pl.BlockSpec((Gm, DBUF, 8), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        # the window operands stay per-lane: each kernel block covers the
+        # 2*Gm logical lanes of its Gm rows
+        sspec = [pl.BlockSpec((2 * Gm,) + s.shape[1:],
+                              lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+                 for s in (aseq3, bseq3)]
+        obi, obu, odb = pl.pallas_call(
+            kernel,
+            grid=(B2 // Gm,),
+            in_specs=[rowspec(bi), rowspec(bu), dspec, *sspec,
+                      pl.BlockSpec((1, 6), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=(rowspec(bi), rowspec(bu), dspec),
+            out_shape=tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
+                            for a in (bi, bu, dbuf)),
+            input_output_aliases={0: 0, 1: 1, 2: 2},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(bi, bu, dbuf, aseq3, bseq3, consts[None, :])
+        res = unpack(obi, obu)
+        res["dbuf"] = odb
+        return _lp_unpack_state(res, W)
 
     def kernel_pallas_packed(st, aseq3, bseq3, LA, LB, ts, pave, msc, dsc):
         from jax.experimental import pallas as pl
@@ -1826,8 +1974,11 @@ def make_persistent_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
             res[nm] = v[:, 0] if nm in PSCALARS else v
         return res
 
-    kernel = (kernel_pallas_packed if packops else
-              kernel_pallas) if use_pallas else kernel_xla
+    if lanepack:
+        kernel = kernel_pallas_lp if use_pallas else kernel_xla
+    else:
+        kernel = (kernel_pallas_packed if packops else
+                  kernel_pallas) if use_pallas else kernel_xla
 
     def make(L):
         """Driver specialised to a window-length bucket L (static)."""
@@ -1912,7 +2063,7 @@ def make_persistent_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
 
 def make_persistent_wrapped(W, P, BW, DBUF, G, L, reverse,
                             use_pallas=True, interpret=False,
-                            packops=False):
+                            packops=False, lanepack=False):
     """Persistent driver with the classic driver's signature: per-lane
     window starts are derived from the seed anchor inside the jit.  The
     window [x0 - MARGIN, x0 - MARGIN + L) (mirrored for the reverse wave)
@@ -1921,7 +2072,7 @@ def make_persistent_wrapped(W, P, BW, DBUF, G, L, reverse,
     drv = make_persistent_driver(W, P, BW, DBUF, G, reverse,
                                  use_pallas=use_pallas,
                                  interpret=interpret,
-                                 packops=packops)(L)
+                                 packops=packops, lanepack=lanepack)(L)
 
     def fn(abase, bbase, mida, k0, aoffp, boffp, Aflat, Bflat,
            ts, pave, msc, dsc):
@@ -1979,9 +2130,6 @@ class PallasWaveEngine:
         packops = os.environ.get("DAMAPPER_WAVE_PACKOPS", "0") == "1"
         if lanepack is None:
             lanepack = os.environ.get("DAMAPPER_WAVE_LANEPACK", "0") == "1"
-        # lanepack applies to the classic segment driver only (the
-        # persistent kernel's in-kernel reload is per-lane 3D)
-        lanepack = lanepack and not persistent
 
         class _Engine(wave_jax.WaveEngine):
             def _get_fns(self, P):
@@ -1997,7 +2145,7 @@ class PallasWaveEngine:
                                 self.W, P, self._BW, self._DBUF, group,
                                 self._L, reverse=reverse,
                                 use_pallas=use_pallas, interpret=interpret,
-                                packops=packops)
+                                packops=packops, lanepack=lanepack)
                         return make_driver(
                             self.W, P, self._BW, self._DBUF, group,
                             reverse=reverse, use_pallas=use_pallas,

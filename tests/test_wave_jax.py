@@ -167,8 +167,11 @@ def test_wave_pallas_interpret_matches_oracle(packops, lanepack,
         assert list(eb.trace) == list(gb.trace), f"case {i} B trace"
 
 
-@pytest.mark.parametrize("seed,err", [(0, 0.15), (3, 0.30)])
-def test_wave_persistent_matches_oracle(seed, err):
+@pytest.mark.parametrize("seed,err,lanepack", [(0, 0.15, False),
+                                               (3, 0.30, False),
+                                               (0, 0.15, True),
+                                               (3, 0.30, True)])
+def test_wave_persistent_matches_oracle(seed, err, lanepack):
     """The persistent-kernel driver (reload loop inside the kernel, lane
     sequence windows resident in VMEM) through its XLA twin: must be
     bit-identical to the oracle like the classic segment driver."""
@@ -177,7 +180,8 @@ def test_wave_persistent_matches_oracle(seed, err):
     seqmem, insts = make_cases(1000 + seed, ncases=4, err=err)
     spec = new_align_spec(0.85, 100, [.25, .25, .25, .25], True)
     eng = PallasWaveEngine(spec, band_cap=64, pool_cap=2048,
-                           use_pallas=False, persistent=True)
+                           use_pallas=False, persistent=True,
+                           lanepack=lanepack)
     dev = jnp.asarray(seqmem)
     got = eng.local_alignment_batch(dev, dev, seqmem, seqmem, insts)
     # genuine band/pool overflows fall back like the classic driver (1 lane
@@ -195,8 +199,10 @@ def test_wave_persistent_matches_oracle(seed, err):
         assert list(eb.trace) == list(gb.trace), f"case {i} B trace"
 
 
-@pytest.mark.parametrize("packops", ["0", "1"])
-def test_wave_persistent_interpret_matches_oracle(packops, monkeypatch):
+@pytest.mark.parametrize("packops,lanepack", [("0", False), ("1", False),
+                                              ("0", True)])
+def test_wave_persistent_interpret_matches_oracle(packops, lanepack,
+                                                  monkeypatch):
     """The persistent pallas_call path in interpret mode: catches Mosaic
     lowering regressions of the in-kernel reload machinery off-TPU."""
     from damapper_tpu.ops.wave_pallas import PallasWaveEngine
@@ -205,7 +211,8 @@ def test_wave_persistent_interpret_matches_oracle(packops, monkeypatch):
     seqmem, insts = make_cases(2000, ncases=2, err=0.15)
     spec = new_align_spec(0.85, 100, [.25, .25, .25, .25], True)
     eng = PallasWaveEngine(spec, band_cap=64, pool_cap=2048,
-                           use_pallas=True, interpret=True, persistent=True)
+                           use_pallas=True, interpret=True, persistent=True,
+                           lanepack=lanepack)
     dev = jnp.asarray(seqmem)
     got = eng.local_alignment_batch(dev, dev, seqmem, seqmem, insts)
     for i, s in enumerate(insts):

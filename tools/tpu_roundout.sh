@@ -28,6 +28,9 @@ DAMAPPER_WAVE_PACKOPS=1 timeout 900 python tools/wave_ab.py 64 6000 persistent
 echo "== lane-packed classic micro (two lanes per vreg row) =="
 timeout 900 python tools/wave_ab.py 64 6000 lanepack
 
+echo "== lane-packed persistent micro =="
+timeout 900 python tools/wave_ab.py 64 6000 plp
+
 echo "== A/B at batch scale =="
 timeout 900 python tools/wave_ab.py 256 6000
 

@@ -5,7 +5,8 @@ runs both PallasWaveEngine variants on the current backend, asserting
 record-identical results and printing per-lane timings.
 
 Usage:  python tools/wave_ab.py [ncases] [rlen] [mode]
-        mode: ab (default) | classic | persistent | lanepack
+        mode: ab (default) | classic | persistent | lanepack | plp
+        (plp = persistent driver with lane-packed rows)
 On TPU this is the fastest way to measure the persistent kernel's launch
 economics without paying a whole pipeline run.
 """
@@ -60,8 +61,9 @@ def main():
     results = {}
     for label, persistent, lanepack in (("classic", False, False),
                                         ("persistent", True, False),
-                                        ("lanepack", False, True)):
-        if mode == "ab" and label == "lanepack":
+                                        ("lanepack", False, True),
+                                        ("plp", True, True)):
+        if mode == "ab" and label in ("lanepack", "plp"):
             continue
         if mode != "ab" and mode != label:
             continue
