@@ -21,6 +21,12 @@ skip the -n.95 -C and -p timed variants.
 
 import json
 import os
+
+# before numpy loads: its MADV_HUGEPAGE hint makes cold big-buffer faults
+# ~7x slower under this kernel's synchronous-compaction THP defrag (see
+# damapper_tpu/__init__.py)
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 import pathlib
 import subprocess
 import sys

@@ -1,5 +1,9 @@
 import os
 
+# see damapper_tpu/__init__.py: numpy's hugepage madvise is a 7x fault-rate
+# loss under this kernel's THP defrag mode
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
 # exercised without TPU hardware (the driver separately dry-runs multichip).
 # NB: the environment may pre-import jax with a TPU platform plugin, so force
