@@ -41,8 +41,10 @@ sys.path.insert(0, str(REPO / "tests"))
 # in ~3s from the cache)
 CACHE = REPO / "tests" / "data" / "xla_cache"
 from damapper_tpu.utils.cache import enable_compile_cache  # noqa: E402
+from damapper_tpu.utils.sysfix import ensure_map_count  # noqa: E402
 
 enable_compile_cache(str(CACHE))
+ensure_map_count()   # stock vm.max_map_count segfaults long XLA-CPU runs
 import jax  # noqa: E402
 
 _CPU_FB = os.environ.get("BENCH_FORCE_CPU") == "1"

@@ -62,6 +62,10 @@ def _pack_fields(fields, out):
     return jnp.concatenate(parts)
 
 
+# process-wide jitted kernel pairs, shared across engine instances
+_GLOBAL_FNS: dict = {}
+
+
 @dataclass
 class WaveResult:
     """Raw per-lane kernel outputs (host numpy)."""
@@ -771,6 +775,7 @@ class WaveEngine:
         self.n_fallback = 0
         self.n_total = 0
         self.n_hostmin = 0      # lanes routed to the host oracle (tiny rounds)
+        self.n_winmiss = 0      # persistent-mode lanes retried on classic
         self.total_waves = 0    # summed per-lane wave counts (telemetry)
         # rounds smaller than this run on the host oracle: a padded device
         # bucket costs ~1s of fixed overhead, the oracle is bit-identical
@@ -780,7 +785,17 @@ class WaveEngine:
         """Jitted kernel pair for a pool-capacity bucket.  The pool rides
         in the while state and is copied every wave on this backend, so
         capacity is sized per batch (local_alignment_batch) rather than
-        worst-case: 2048 -> 512 pool rows halves per-wave cost."""
+        worst-case: 2048 -> 512 pool rows halves per-wave cost.
+
+        Pairs are memoized process-wide (keyed on band/pool shape and mesh):
+        engines are cheap to construct, and without this every engine would
+        re-trace and re-compile identical kernels — a test suite builds
+        hundreds of engines, and the duplicate LLVM work both slows it and
+        has been observed to crash XLA's CPU backend late in the process."""
+        gkey = (self.W, P, None if self.mesh is None
+                else (id(self.mesh), tuple(self.mesh.shape.items())))
+        if P not in self._fns and gkey in _GLOBAL_FNS:
+            self._fns[P] = _GLOBAL_FNS[gkey]
         if P not in self._fns:
             vm = functools.partial(jax.vmap,
                                    in_axes=(0, 0, 0, 0, 0, 0, None, None,
@@ -796,6 +811,7 @@ class WaveEngine:
                                 jax.jit(rev, in_shardings=shardings))
             else:
                 self._fns[P] = (jax.jit(fwd), jax.jit(rev))
+            _GLOBAL_FNS[gkey] = self._fns[P]
         return self._fns[P]
 
     # fixed bucket size: every call pads/chunks to this many lanes, so each
@@ -841,7 +857,12 @@ class WaveEngine:
         # their group immediately instead of redundantly recomputing lane 0
         fill = dict(abase=0, bbase=0, mida=0, k0=0, aoffp=0, boffp=0)
         names = ("abase", "bbase", "mida", "k0", "aoffp", "boffp")
-        chunks = []
+        # two-phase chunk pipeline: dispatch every chunk first (JAX dispatch
+        # is async, so the device queue fills immediately), then pull the
+        # packed results in order.  While the host waits on chunk i's
+        # device->host transfer (~26ms tunnel latency + copy) the device is
+        # already computing chunks i+1.., overlapping transfer with compute.
+        pending = []
         for st in range(0, n, B):
             en = min(st + B, n)
             def pad(x, nm):
@@ -857,21 +878,25 @@ class WaveEngine:
             # axon tunnel costs ~26ms latency PER transfer, so pulling a
             # dozen arrays separately dominates the batch wall-clock
             fields = sorted(out)
-            flat = np.asarray(_pack_fields(tuple(fields), out))
+            flat = _pack_fields(tuple(fields), out)
+            shapes = {f: (out[f].shape, out[f].dtype) for f in fields}
+            pending.append((en - st, fields, shapes, flat))
+        chunks = []
+        for nkeep, fields, shapes, flat in pending:
+            flat = np.asarray(flat)
             unpacked = {}
             off = 0
             for f in fields:
-                v = out[f]
-                sz = int(np.prod(v.shape)) if v.ndim else 1
-                arr = flat[off:off + sz].reshape(v.shape if v.ndim else ())
+                shp, dt = shapes[f]
+                sz = int(np.prod(shp)) if shp else 1
+                arr = flat[off:off + sz].reshape(shp if shp else ())
                 off += sz
-                if v.dtype == jnp.bool_:
+                if dt == jnp.bool_:
                     arr = arr.astype(bool)
                 unpacked[f] = arr
             self.last_iters = int(unpacked.pop("iters", 0))
             self.last_launches = int(unpacked.pop("launches", 0))
-            chunks.append({f: v[:en - st]
-                           for f, v in unpacked.items()})
+            chunks.append({f: v[:nkeep] for f, v in unpacked.items()})
         merged = {f: np.concatenate([c[f] for c in chunks])
                   for f in chunks[0]}
         if order is not None:

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import functools
 import os
+import pathlib
 from dataclasses import dataclass
 
 import jax
@@ -2124,12 +2125,31 @@ class PallasWaveEngine:
             # divergence grows with the group, so G=8 wins end to end
             # (G=32 was ~25% slower on a 201-lane 12Mb batch)
             group = int(os.environ.get("DAMAPPER_WAVE_GROUP", 8))
-        if persistent is None:
-            persistent = os.environ.get(
-                "DAMAPPER_WAVE_PERSISTENT", "0") == "1"
-        packops = os.environ.get("DAMAPPER_WAVE_PACKOPS", "0") == "1"
-        if lanepack is None:
-            lanepack = os.environ.get("DAMAPPER_WAVE_LANEPACK", "0") == "1"
+        # measured default: tools/pick_wave_mode.py writes the fastest
+        # hardware-measured (persistent, packops, lanepack) triple here.
+        # Explicit constructor args and env vars both override it; CPU runs
+        # (tests, fallback benches) ignore it — the measurement is TPU-only.
+        mode_file = {}
+        if use_pallas and not interpret:
+            try:
+                import json as _json
+                mode_file = _json.loads(
+                    (pathlib.Path(__file__).parent.parent
+                     / "wave_mode.json").read_text())
+            except (OSError, ValueError):
+                mode_file = {}
+
+        def _opt(arg, env, key):
+            if arg is not None:
+                return arg
+            if env in os.environ:
+                return os.environ[env] == "1"
+            return bool(mode_file.get(key, False))
+
+        persistent = _opt(persistent, "DAMAPPER_WAVE_PERSISTENT",
+                          "persistent")
+        packops = _opt(None, "DAMAPPER_WAVE_PACKOPS", "packops")
+        lanepack = _opt(lanepack, "DAMAPPER_WAVE_LANEPACK", "lanepack")
 
         class _Engine(wave_jax.WaveEngine):
             def _get_fns(self, P):
@@ -2167,6 +2187,55 @@ class PallasWaveEngine:
                     self._L = max(2048, _pow2ceil(span + 2 * MARGIN))
                 return super().local_alignment_batch(
                     Aflat, Bflat, Anp, Bnp, seeds)
+
+            def _classic_twin(self):
+                # retry tier for persistent-mode overflow lanes: the
+                # persistent kernel marks a lane bad whenever its
+                # pre-gathered VMEM window cannot serve a reload (window
+                # miss), but the classic driver reloads from full sequence
+                # memory and has no such limit.  Routing window misses
+                # through it keeps them on the device; only true band/pool
+                # overflows reach the (slow, bit-identical) host oracle.
+                if getattr(self, "_twin", None) is None:
+                    self._twin = PallasWaveEngine(
+                        self.spec, band_cap=self.W, pool_cap=self.P,
+                        mesh=self.mesh, use_pallas=use_pallas,
+                        interpret=interpret, group=group,
+                        persistent=False, lanepack=lanepack)
+                return self._twin
+
+            def _run(self, which, abase, bbase, mida, k0, aoffp, boffp,
+                     Aflat, Bflat, sortkey=None):
+                res = super()._run(which, abase, bbase, mida, k0,
+                                   aoffp, boffp, Aflat, Bflat,
+                                   sortkey=sortkey)
+                if not persistent or os.environ.get(
+                        "DAMAPPER_WAVE_RETRY", "1") != "1":
+                    return res
+                bad = np.flatnonzero(np.asarray(res.overflow))
+                if len(bad) == 0:
+                    return res
+                tw = self._classic_twin()
+                tw._activeP = self._activeP
+                sub = tw._run(
+                    which, *(np.asarray(v)[bad] for v in
+                             (abase, bbase, mida, k0, aoffp, boffp)),
+                    Aflat, Bflat,
+                    sortkey=(None if sortkey is None
+                             else np.asarray(sortkey)[bad]))
+                self.n_winmiss += len(bad)
+                # cell-updates telemetry: replace the bad lanes' aborted
+                # wave counts with the classic run's real ones
+                self.total_waves += int(sub.waves.sum())
+                self.total_waves -= int(res.waves[bad].sum())
+                for fld in res.__dataclass_fields__:
+                    arr = getattr(res, fld)
+                    if not arr.flags.writeable:
+                        # unpacked results are views of the pulled buffer
+                        arr = arr.copy()
+                        setattr(res, fld, arr)
+                    arr[bad] = getattr(sub, fld)
+                return res
 
         eng = _Engine(spec, band_cap=band_cap, pool_cap=pool_cap, mesh=mesh)
         eng._BW = max(128, band_cap + 64)

@@ -304,7 +304,9 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
             ndev = engine.n_total - engine.n_fallback - engine.n_hostmin
             print(f"      wave lanes: {engine.n_total:,} total, "
                   f"{ndev:,} device, {engine.n_fallback:,} overflow-fallback, "
-                  f"{engine.n_hostmin:,} tiny-round host", file=sys.stderr)
+                  f"{engine.n_hostmin:,} tiny-round host, "
+                  f"{getattr(engine, 'n_winmiss', 0):,} window-miss retries",
+                  file=sys.stderr)
 
     a_path = b_path = None
     if cfg.do_a:
@@ -336,6 +338,7 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
                       cell_updates=(getattr(engine, "total_waves", 0)
                                     * getattr(engine, "W", 0)),
                       n_fallback=getattr(engine, "n_fallback", 0),
+                      n_winmiss=getattr(engine, "n_winmiss", 0),
                       n_lanes=getattr(engine, "n_total", 0))
     return a_path, b_path
 

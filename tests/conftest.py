@@ -27,6 +27,20 @@ import sys  # noqa: E402
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+# persistent XLA compile cache: repeat suite runs skip LLVM re-compilation
+# of the big wave kernels entirely (also shared with bench.py / tools)
+from damapper_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(str(pathlib.Path(__file__).parent / "data"
+                         / "xla_cache"))
+
+# the full suite's one process accumulates >65530 mmaps (hundreds of XLA
+# executables); at the stock vm.max_map_count it segfaults inside XLA's
+# compile path — raise the limit when privileged (see utils/sysfix.py)
+from damapper_tpu.utils.sysfix import ensure_map_count  # noqa: E402
+
+ensure_map_count()
+
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

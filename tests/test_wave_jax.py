@@ -245,3 +245,48 @@ def test_tiny_round_host_route_identical():
             assert (d.abpos, d.bbpos, d.aepos, d.bepos, d.diffs) == \
                    (h.abpos, h.bbpos, h.aepos, h.bepos, h.diffs), f"{i} {nm}"
             assert list(d.trace) == list(h.trace), f"{i} {nm} trace"
+
+
+def test_persistent_winmiss_retries_on_classic_driver(monkeypatch):
+    """Persistent-mode overflow lanes (window misses) are retried on the
+    classic device driver before ever reaching the host oracle: force every
+    lane of the persistent engine to report overflow and check the classic
+    retry tier reproduces the classic engine's records with zero host
+    fallbacks."""
+    from damapper_tpu.ops import wave_jax
+    from damapper_tpu.ops.wave_pallas import PallasWaveEngine
+
+    seqmem, insts = make_cases(4242, ncases=10, err=0.15)
+    spec = new_align_spec(0.85, 100, [.25, .25, .25, .25], True)
+    dev = jnp.asarray(seqmem)
+
+    eng_p = PallasWaveEngine(spec, band_cap=64, pool_cap=2048,
+                             use_pallas=False, persistent=True)
+    eng_c = PallasWaveEngine(spec, band_cap=64, pool_cap=2048,
+                             use_pallas=False, persistent=False)
+    eng_p.host_min = eng_c.host_min = 0
+
+    orig = wave_jax.WaveEngine._run
+
+    def forced(self, which, *a, **kw):
+        res = orig(self, which, *a, **kw)
+        if self is eng_p:
+            res.overflow[:] = True      # every lane "misses the window"
+        return res
+
+    monkeypatch.setattr(wave_jax.WaveEngine, "_run", forced)
+    got_p = eng_p.local_alignment_batch(dev, dev, seqmem, seqmem, insts)
+    got_c = eng_c.local_alignment_batch(dev, dev, seqmem, seqmem, insts)
+
+    assert eng_p.n_winmiss >= len(insts)
+    # the classic tier salvages every forced "window miss"; only lanes the
+    # classic driver itself overflows (genuine band/pool overflow) may fall
+    # back to the host oracle — exactly as many as on the classic engine
+    assert eng_p.n_fallback == eng_c.n_fallback
+    for i in range(len(insts)):
+        pa, pb = got_p[i]
+        ca, cb = got_c[i]
+        for e, g in ((pa, ca), (pb, cb)):
+            assert (e.abpos, e.bbpos, e.aepos, e.bepos, e.diffs) == \
+                   (g.abpos, g.bbpos, g.aepos, g.bepos, g.diffs)
+            assert list(e.trace) == list(g.trace)

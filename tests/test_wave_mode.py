@@ -1,0 +1,63 @@
+"""tools/pick_wave_mode.py: measured-mode selection logic."""
+
+import importlib.util
+import json
+import pathlib
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _load():
+    spec = importlib.util.spec_from_file_location(
+        "pick_wave_mode", REPO / "tools" / "pick_wave_mode.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_pick_prefers_fastest_tpu_row():
+    mod = _load()
+    rows = [
+        # cpu rows and tiny batches are ignored
+        {"platform": "cpu", "ncases": 64, "ms_per_lane": 0.1,
+         "persistent": True, "packops": False, "lanepack": False},
+        {"platform": "tpu", "ncases": 8, "ms_per_lane": 0.2,
+         "persistent": True, "packops": False, "lanepack": False},
+        # duplicate configs: the better run represents the config
+        {"platform": "tpu", "ncases": 64, "ms_per_lane": 3.2,
+         "persistent": False, "packops": False, "lanepack": False},
+        {"platform": "tpu", "ncases": 64, "ms_per_lane": 2.9,
+         "persistent": False, "packops": False, "lanepack": False},
+        {"platform": "tpu", "ncases": 64, "ms_per_lane": 1.1,
+         "persistent": True, "packops": True, "lanepack": False},
+        {"platform": "tpu", "ncases": 256, "ms_per_lane": 1.4,
+         "persistent": True, "packops": False, "lanepack": True},
+    ]
+    win = mod.pick(rows)
+    assert (win["persistent"], win["packops"], win["lanepack"]) == (
+        True, True, False)
+    assert win["ms_per_lane"] == 1.1
+
+
+def test_pick_empty_and_cpu_only():
+    mod = _load()
+    assert mod.pick([]) is None
+    assert mod.pick([{"platform": "cpu", "ncases": 64,
+                      "ms_per_lane": 1.0}]) is None
+
+
+def test_main_writes_mode_file(tmp_path, monkeypatch):
+    mod = _load()
+    src = tmp_path / "r.jsonl"
+    rows = [{"platform": "tpu", "ncases": 64, "ms_per_lane": 1.5,
+             "persistent": True, "packops": False, "lanepack": True,
+             "ts": 1.0}]
+    src.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    monkeypatch.setattr(mod, "MODE_FILE", tmp_path / "wave_mode.json")
+    monkeypatch.setattr(sys, "argv", ["pick_wave_mode.py", str(src)])
+    assert mod.main() == 0
+    out = json.loads((tmp_path / "wave_mode.json").read_text())
+    assert out == {"persistent": True, "packops": False, "lanepack": True,
+                   "ms_per_lane": 1.5, "platform": "tpu",
+                   "source": str(src), "ts": 1.0}

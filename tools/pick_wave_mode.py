@@ -1,0 +1,72 @@
+"""Pick the fastest measured wave-engine mode and persist it as the default.
+
+Reads the JSONL records appended by tools/wave_ab.py, keeps TPU-platform
+rows at micro-bench scale (>= 32 lanes), takes the best (lowest warm
+ms/lane) configuration per (persistent, packops, lanepack) triple, and
+writes the winner to damapper_tpu/wave_mode.json — which PallasWaveEngine
+uses as its default whenever the DAMAPPER_WAVE_* env vars are unset and
+the backend is not CPU.
+
+This closes the loop for unattended measurement: the tunnel watcher runs
+tools/tpu_roundout.sh whenever the axon tunnel comes back, and this picker
+(invoked by the roundout before its full-pipeline benches) flips the
+production default to whatever actually won on hardware, with no human in
+the loop.
+
+Usage: python tools/pick_wave_mode.py [results.jsonl]
+"""
+
+import json
+import pathlib
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+MODE_FILE = REPO / "damapper_tpu" / "wave_mode.json"
+
+
+def pick(rows):
+    rows = [r for r in rows
+            if r.get("platform") not in (None, "cpu")
+            and r.get("ncases", 0) >= 32]
+    if not rows:
+        return None
+    best = {}
+    for r in rows:
+        key = (bool(r.get("persistent")), bool(r.get("packops")),
+               bool(r.get("lanepack")))
+        if key not in best or r["ms_per_lane"] < best[key]["ms_per_lane"]:
+            best[key] = r
+    return min(best.values(), key=lambda r: r["ms_per_lane"])
+
+
+def main():
+    src = pathlib.Path(sys.argv[1]) if len(sys.argv) > 1 else (
+        REPO / "tools" / "wave_ab_results.jsonl")
+    if not src.exists():
+        print(f"no results at {src}; keeping current defaults")
+        return 0
+    rows = []
+    for line in src.read_text().splitlines():
+        line = line.strip()
+        if line:
+            try:
+                rows.append(json.loads(line))
+            except json.JSONDecodeError:
+                pass
+    win = pick(rows)
+    if win is None:
+        print("no TPU-scale rows; keeping current defaults")
+        return 0
+    out = {"persistent": bool(win.get("persistent")),
+           "packops": bool(win.get("packops")),
+           "lanepack": bool(win.get("lanepack")),
+           "ms_per_lane": win["ms_per_lane"],
+           "platform": win["platform"],
+           "source": str(src), "ts": win.get("ts")}
+    MODE_FILE.write_text(json.dumps(out, indent=1) + "\n")
+    print(f"wave mode -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -34,6 +34,10 @@ timeout 900 python tools/wave_ab.py 64 6000 plp
 echo "== A/B at batch scale =="
 timeout 900 python tools/wave_ab.py 256 6000
 
+echo "== pick the measured-fastest wave mode as the default =="
+python tools/pick_wave_mode.py || true
+cat damapper_tpu/wave_mode.json 2>/dev/null || true
+
 echo "== 12Mb bench: classic vs persistent =="
 BENCH_GLEN=12000000 BENCH_NREADS=200 BENCH_VARIANTS=0 BENCH_REPEATS=1 \
   timeout 560 python bench.py

@@ -11,6 +11,8 @@ On TPU this is the fastest way to measure the persistent kernel's launch
 economics without paying a whole pipeline run.
 """
 
+import json
+import os
 import pathlib
 import sys
 import time
@@ -73,6 +75,22 @@ def main():
         run(eng, dev, seqmem, insts, label + " (compile)")
         got, dt = run(eng, dev, seqmem, insts, label + " (warm)   ")
         results[label] = (got, dt)
+        # machine-readable record for tools/pick_wave_mode.py: the tunnel
+        # watcher runs the roundout unattended, so the winning mode must be
+        # derivable from a log no human is reading
+        import jax
+        rec = {"mode": label, "persistent": persistent, "lanepack": lanepack,
+               "packops": os.environ.get("DAMAPPER_WAVE_PACKOPS", "0") == "1",
+               "ncases": ncases, "rlen": rlen,
+               "platform": jax.devices()[0].platform,
+               "total_s": round(dt, 3),
+               "ms_per_lane": round(1e3 * dt / len(insts), 3),
+               "fallback": int(eng.n_fallback), "ts": time.time()}
+        logp = os.environ.get(
+            "WAVE_AB_LOG",
+            str(pathlib.Path(__file__).parent / "wave_ab_results.jsonl"))
+        with open(logp, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
 
     if len(results) == 2:
         gc, dc = results["classic"]
