@@ -511,6 +511,25 @@ def device_match_seeds(aidx: DeviceKmerIndex, bidx: DeviceKmerIndex,
 # shards in shard order).
 
 
+def _mesh_is_multiprocess(mesh) -> bool:
+    """True when the mesh spans more than one jax process (multi-host)."""
+    pid = jax.process_index()
+    return any(d.process_index != pid for d in mesh.devices.flat)
+
+
+def _global_put(x, sharding):
+    """Place host-identical data onto a (possibly cross-process) sharding.
+
+    Single-process: plain device_put.  Multi-process: every rank holds the
+    same full copy (the pipeline's host stages are replicated), so each
+    process serves its addressable shards from its local copy."""
+    if not _mesh_is_multiprocess(sharding.mesh):
+        return jax.device_put(x, sharding)
+    xh = np.asarray(x)
+    return jax.make_array_from_callback(xh.shape, sharding,
+                                        lambda idx: xh[idx])
+
+
 def shard_index(idx: DeviceKmerIndex, mesh, axis: str) -> DeviceKmerIndex:
     """Re-place an index's arrays contiguously sharded over a mesh axis."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -518,23 +537,29 @@ def shard_index(idx: DeviceKmerIndex, mesh, axis: str) -> DeviceKmerIndex:
     sh = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
     return DeviceKmerIndex(
-        jax.device_put(idx.hi, sh), jax.device_put(idx.lo, sh),
-        jax.device_put(idx.pos, sh), idx.n,
-        jax.device_put(idx.boffs, rep), idx.kmer)
+        _global_put(idx.hi, sh), _global_put(idx.lo, sh),
+        _global_put(idx.pos, sh), idx.n,
+        _global_put(idx.boffs, rep), idx.kmer)
 
 
 _SHARDED_CACHE: dict = {}
 
 
 def _sharded_fns(mesh):
-    """Build (count_fn, emit_fn_factory) for a (dp, ref) mesh (cached)."""
-    from jax.sharding import PartitionSpec as P
+    """Build (count, middle1, middle2, emit_factory) for a (dp, ref) mesh
+    (cached).  middle1/middle2 are the between-collective group math as
+    jitted programs with REPLICATED outputs: on a multi-process mesh the
+    host may only np.asarray fully-addressable arrays, so every value the
+    host consumes is forced to a full replica (a no-op data-wise on a
+    single-process mesh, where it was already gathered on pull)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     key = (id(mesh), mesh.shape["dp"], mesh.shape["ref"])
     if key in _SHARDED_CACHE:
         return _SHARDED_CACHE[key]
     ndp = mesh.shape["dp"]
     nref = mesh.shape["ref"]
+    rep = NamedSharding(mesh, P())
 
     def _local_ranges(ahi_l, alo_l, bhi_l, blo_l, bn_l):
         """Per-(dp,ref)-device b-ranges of the local a slice against the
@@ -554,6 +579,40 @@ def _sharded_fns(mesh):
         count_local, mesh=mesh,
         in_specs=(P("dp"), P("dp"), P("ref"), P("ref"), P("ref")),
         out_specs=(P("dp"), P(("ref", "dp"))), check_vma=False))
+
+    def _group_sel(cb_g, ahi, alo, an):
+        """Group totals + selection mask (the epilogue of _match_count,
+        identical math to the unsharded path)."""
+        n = ahi.shape[0]
+        idx = jnp.arange(n, dtype=jnp.int32)
+        live = idx < an
+        cb_g = jnp.where(live, cb_g, 0)
+        gl, gr = _self_ranges(ahi, alo)
+        first = gl == idx
+        ca = gr - gl
+        ctf = ca.astype(jnp.float32) * cb_g.astype(jnp.float32)
+        ct = jnp.minimum(ctf, jnp.float32(0x7FFFFF00)).astype(jnp.int32)
+        return cb_g, live, first, ct
+
+    def middle1_fn(cb_g, ahi, alo, an):
+        """-M histogram over group totals (replicated output)."""
+        cb_g, live, first, ct = _group_sel(cb_g, ahi, alo, an)
+        selg = first & live & (cb_g > 0) & (ct < MAXGRAM) & (ct > 0)
+        sv = lax.sort(jnp.where(selg, ct, jnp.int32(0x7FFFFFFF)))
+        edges = jnp.arange(MAXGRAM + 1, dtype=jnp.int32)
+        pos = jnp.searchsorted(sv, edges, side="left").astype(jnp.int32)
+        return pos[1:] - pos[:-1]
+
+    def middle2_fn(cb_g, cb_l, ahi, alo, an, limit):
+        """Selection mask, total hit count, and the per-(ref,dp) local
+        count map — all replicated for host consumption."""
+        cb_g, live, first, ct = _group_sel(cb_g, ahi, alo, an)
+        sel = (cb_g > 0) & (ct < limit)
+        total = jnp.sum(jnp.where(sel, cb_g, 0))
+        return sel, total, cb_l
+
+    middle1 = jax.jit(middle1_fn, out_shardings=rep)
+    middle2 = jax.jit(middle2_fn, out_shardings=(rep, rep, rep))
 
     def emit_factory(ncap: int, akmer: int, bkmer: int):
         def emit_local(sel, a_pos, aboffs, ahi, alo, bhi, blo, bn_l,
@@ -597,9 +656,12 @@ def _sharded_fns(mesh):
                                               num_keys=5, is_stable=True)
             return ar, br, ap, dg
 
-        return jax.jit(emit_sorted)
+        # replicated outputs: the host slices [:total] off each — on a
+        # multi-process mesh only a full replica is addressable everywhere
+        return jax.jit(emit_sorted, out_shardings=(rep,) * 4)
 
-    fns = (count, functools.lru_cache(maxsize=None)(emit_factory))
+    fns = (count, middle1, middle2,
+           functools.lru_cache(maxsize=None)(emit_factory))
     _SHARDED_CACHE[key] = fns
     return fns
 
@@ -621,40 +683,29 @@ def device_match_seeds_sharded(aidx: DeviceKmerIndex, bidx: DeviceKmerIndex,
     per = cap_b // nref
     bn_l = np.clip(bidx.n - per * np.arange(nref), 0, per).astype(np.int32)
 
-    count, emit_factory = _sharded_fns(mesh)
-    cb_g, cb_l = count(aidx.hi, aidx.lo, bidx.hi, bidx.lo,
-                       jnp.asarray(bn_l))
+    count, middle1, middle2, emit_factory = _sharded_fns(mesh)
+    # bn_l stays a host numpy array: jit shards uncommitted host inputs on
+    # any mesh, including one spanning processes (multi-host index shards)
+    cb_g, cb_l = count(aidx.hi, aidx.lo, bidx.hi, bidx.lo, bn_l)
 
-    # group-level totals + -M histogram on the (replicated) global counts:
-    # identical math to _match_count's epilogue (no-scatter formulation)
+    # group-level totals + -M histogram on the psum-merged global counts:
+    # identical math to _match_count's epilogue (no-scatter formulation),
+    # run as replicated-output jits (host-addressable on every process)
     n = aidx.hi.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    live = idx < aidx.n
-    cb_g = jnp.where(live, cb_g, 0)
-    gl, gr = _self_ranges(aidx.hi, aidx.lo)
-    first = gl == idx
-    ca = gr - gl
-    ctf = ca.astype(jnp.float32) * cb_g.astype(jnp.float32)
-    ct = jnp.minimum(ctf, jnp.float32(0x7FFFFF00)).astype(jnp.int32)
-
+    an = np.int32(aidx.n)
     if mem_limit > 0:
-        selg = first & live & (cb_g > 0) & (ct < MAXGRAM) & (ct > 0)
-        sv = lax.sort(jnp.where(selg, ct, jnp.int32(0x7FFFFFFF)))
-        edges = jnp.arange(MAXGRAM + 1, dtype=jnp.int32)
-        pos = jnp.searchsorted(sv, edges, side="left").astype(jnp.int32)
-        gram = np.asarray(pos[1:] - pos[:-1])
+        gram = np.asarray(middle1(cb_g, aidx.hi, aidx.lo, an))
         limit = match_limit(gram, mem_limit, db_bytes, aidx.n, bidx.n)
     else:
         limit = np.iinfo(np.int32).max
 
-    sel = (cb_g > 0) & (ct < jnp.int32(min(limit, 0x7FFFFFFF)))
-    total = int(jnp.sum(jnp.where(sel, cb_g, 0)))
+    sel, total, cb_l = middle2(cb_g, cb_l, aidx.hi, aidx.lo, an,
+                               np.int32(min(limit, 0x7FFFFFFF)))
+    total = int(total)
     if total == 0:
         return empty
     # per-(dp,ref)-device emission capacity: bounded by the largest local
     # total; one bucketed compile per capacity class
-    loc_tot = np.asarray(jnp.sum(
-        jnp.where(sel, cb_l.reshape(nref, n), 0), axis=1))
     ndp = mesh.shape["dp"]
     # cb_l rows are per-ref-shard over the full a axis; each dp shard takes
     # a contiguous n/ndp slice, so the true per-device total is a slice sum
@@ -670,7 +721,7 @@ def device_match_seeds_sharded(aidx: DeviceKmerIndex, bidx: DeviceKmerIndex,
 
     emit = emit_factory(ncap, aidx.kmer, bidx.kmer)
     ar, br, ap, dg = emit(sel, aidx.pos, aidx.boffs, aidx.hi, aidx.lo,
-                          bidx.hi, bidx.lo, jnp.asarray(bn_l),
+                          bidx.hi, bidx.lo, bn_l,
                           bidx.pos, bidx.boffs)
-    return SeedHits(np.asarray(ar[:total]), np.asarray(br[:total]),
-                    np.asarray(ap[:total]), np.asarray(dg[:total]))
+    ar, br, ap, dg = (np.asarray(x) for x in (ar, br, ap, dg))
+    return SeedHits(ar[:total], br[:total], ap[:total], dg[:total])

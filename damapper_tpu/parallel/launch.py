@@ -44,6 +44,13 @@ def worker_main(argv: list[str] | None = None) -> int:
     ap.add_argument("--coord", required=True)
     ap.add_argument("--plan", required=True, help="plan JSON file")
     ap.add_argument("--out", default=".")
+    ap.add_argument("--global-index", action="store_true",
+                    help="cooperative mode: every rank runs every job on "
+                         "ONE global (dp, ref) device mesh whose ref axis "
+                         "spans the hosts — the reference k-mer index is "
+                         "sharded across hosts and seed matching merges "
+                         "hit counts over DCN (BASELINE config 5). Pair "
+                         "with DAMAPPER_INDEX=device.")
     args = ap.parse_args(argv)
 
     # workers are CPU-host processes: force the platform before any device
@@ -64,8 +71,19 @@ def worker_main(argv: list[str] | None = None) -> int:
     from ..pipeline.mapper import main_damapper
 
     os.chdir(args.out)
+    if args.global_index:
+        # cooperative mode: the mapper's auto-mesh may span the ranks
+        os.environ["DAMAPPER_COOP"] = "1"
     rc = 0
     for job in plan["jobs"]:
+        if args.global_index:
+            # cooperative job: all ranks execute the same program over one
+            # cross-host mesh (host stages replicated, index sharded); the
+            # rank-0 copy of the output is the canonical one
+            print(f"[rank {args.rank}] blocks {job['blocks']} (global mesh)",
+                  flush=True)
+            rc |= main_damapper(_job_argv(job["cmd"]))
+            continue
         if job["host"] % args.nprocs != args.rank:
             continue
         print(f"[rank {args.rank}] blocks {job['blocks']}", flush=True)
@@ -100,9 +118,14 @@ def worker_main(argv: list[str] | None = None) -> int:
 
 def run_plan_multihost(plan_json: str, nprocs: int, workdir: str,
                        port: int | None = None,
-                       env_extra: dict | None = None) -> dict:
+                       env_extra: dict | None = None,
+                       global_index: bool = False) -> dict:
     """Launch a plan across nprocs localhost worker processes.  Returns
-    {"seconds": wall, "rc": int}."""
+    {"seconds": wall, "rc": int}.
+
+    global_index=True runs every job cooperatively on one cross-process
+    (dp, ref) mesh (reference index sharded across the ranks) instead of
+    distributing jobs over ranks; pair with DAMAPPER_INDEX=device."""
     import socket
 
     if port is None:
@@ -127,12 +150,14 @@ def run_plan_multihost(plan_json: str, nprocs: int, workdir: str,
     t0 = time.time()
     procs = []
     for r in range(nprocs):
+        argv = [sys.executable, "-m", "damapper_tpu.parallel.launch",
+                "--rank", str(r), "--nprocs", str(nprocs),
+                "--coord", f"127.0.0.1:{port}", "--plan", str(planp),
+                "--out", str(wd)]
+        if global_index:
+            argv.append("--global-index")
         procs.append(subprocess.Popen(
-            [sys.executable, "-m", "damapper_tpu.parallel.launch",
-             "--rank", str(r), "--nprocs", str(nprocs),
-             "--coord", f"127.0.0.1:{port}", "--plan", str(planp),
-             "--out", str(wd)],
-            env=env, cwd=str(wd),
+            argv, env=env, cwd=str(wd),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     rc = 0
     logs = []

@@ -35,16 +35,29 @@ from jax.sharding import Mesh
 _BASES = "ACGT"
 
 
-def make_mesh(n_devices: int | None = None, ref_shards: int | None = None
-              ) -> Mesh:
-    """Build a (dp, ref) mesh over the available devices."""
-    devs = jax.devices()
+def make_mesh(n_devices: int | None = None, ref_shards: int | None = None,
+              devices=None) -> Mesh:
+    """Build a (dp, ref) mesh over `devices` (default: all devices).
+
+    When the device list spans processes (cooperative multi-host mode) the
+    layout puts "ref" ACROSS the process boundary: the reference k-mer
+    index is the memory axis (BASELINE config 5's "index sharded over
+    N>=2 hosts"), so each host holds 1/ref_shards of it and the matcher's
+    psum rides DCN; "dp" stays within a host."""
+    devs = jax.devices() if devices is None else list(devices)
     n = len(devs) if n_devices is None else n_devices
     devs = devs[:n]
     if ref_shards is None:
         ref_shards = 2 if n % 2 == 0 and n >= 4 else 1
     dp = n // ref_shards
-    arr = np.array(devs).reshape(dp, ref_shards)
+    pid0 = devs[0].process_index
+    if any(d.process_index != pid0 for d in devs):
+        if ref_shards == 1:
+            # every multi-host mesh shards the index: that is its point
+            ref_shards, dp = dp, 1
+        arr = np.array(devs).reshape(ref_shards, dp).T
+    else:
+        arr = np.array(devs).reshape(dp, ref_shards)
     return Mesh(arr, ("dp", "ref"))
 
 

@@ -28,15 +28,22 @@ from .reporter import Reporter
 
 
 def _auto_mesh():
-    """(dp, ref) mesh over all local devices (None when single-chip): "dp"
-    carries the reference's thread/cluster read parallelism, "ref" shards
-    the reference k-mer index (SURVEY.md §2.2)."""
+    """(dp, ref) mesh (None when single-chip): "dp" carries the reference's
+    thread/cluster read parallelism, "ref" shards the reference k-mer index
+    (SURVEY.md §2.2).
+
+    Under jax.distributed the mesh is LOCAL to this rank by default — in
+    per-rank job-ownership mode (parallel.launch) ranks run different
+    blocks, so cross-rank collectives would deadlock.  DAMAPPER_COOP=1
+    (set by `launch --global-index`) opts into the cooperative global mesh
+    whose "ref" axis shards the index across the hosts."""
     try:
         import jax
-        devs = jax.devices()
+        coop = os.environ.get("DAMAPPER_COOP") == "1"
+        devs = jax.devices() if coop else jax.local_devices()
         if len(devs) > 1:
             from ..parallel.mesh import make_mesh
-            return make_mesh(len(devs))
+            return make_mesh(len(devs), devices=devs)
     except Exception:
         pass
     return None
@@ -157,6 +164,13 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
     mesh = cfg.mesh
     if mesh == "auto":
         mesh = _auto_mesh()
+    # a mesh spanning jax processes = multi-host cooperative mode: every
+    # rank executes the same (replicated) host pipeline, the reference
+    # index is sharded across hosts, and only rank 0 writes output files
+    multiproc = False
+    if mesh is not None:
+        from ..ops.device_index import _mesh_is_multiprocess
+        multiproc = _mesh_is_multiprocess(mesh)
 
     use_device_index = cfg.index_backend == "device"
     # dp x ref sharded matching: reads index sharded over "dp", each ref
@@ -281,12 +295,17 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
 
     engine = None
     if cfg.wave_backend in ("jax", "pallas"):
+        # on a mesh spanning processes (multi-host index sharding) the wave
+        # stays process-local: host stages are replicated per rank, so lane
+        # batches are identical everywhere and dp-sharding them across hosts
+        # would only add DCN traffic for work every rank still consumes
+        wave_mesh = None if multiproc else mesh
         if cfg.wave_backend == "pallas":
             from ..ops.wave_pallas import PallasWaveEngine
-            engine = PallasWaveEngine(spec, mesh=mesh)
+            engine = PallasWaveEngine(spec, mesh=wave_mesh)
         else:
             from ..ops.wave_jax import WaveEngine
-            engine = WaveEngine(spec, mesh=mesh)
+            engine = WaveEngine(spec, mesh=wave_mesh)
     rep = Reporter(spec, cfg.kmer, cfg.spacing, cfg.best_tie,
                    do_a=cfg.do_a, do_b=cfg.do_b, engine=engine)
     profile_out = [] if cfg.profile else None
@@ -308,17 +327,26 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
                   f"{getattr(engine, 'n_winmiss', 0):,} window-miss retries",
                   file=sys.stderr)
 
+    # multi-host cooperative mode: all ranks computed identical records;
+    # rank 0's copy is canonical, other ranks skip the (racy) file writes
+    rank0 = True
+    if multiproc:
+        import jax as _jax
+        rank0 = _jax.process_index() == 0
+
     a_path = b_path = None
     if cfg.do_a:
         a_recs = lasio.sort_las(a_recs, cfg.map_order)
         a_path = os.path.join(out_dir, f"{broot}.{aroot}.las")
-        lasio.write_las(a_path, a_recs, cfg.spacing)
+        if rank0:
+            lasio.write_las(a_path, a_recs, cfg.spacing)
     if cfg.do_b:
         b_recs = lasio.sort_las(b_recs, cfg.map_order)
         b_path = os.path.join(out_dir, f"{aroot}.{broot}.las")
-        lasio.write_las(b_path, b_recs, cfg.spacing)
+        if rank0:
+            lasio.write_las(b_path, b_recs, cfg.spacing)
 
-    if cfg.profile:
+    if cfg.profile and rank0:
         anno = np.zeros(reads_db.nreads + 1, np.int64)
         data = bytearray()
         for i, logv in enumerate(profile_out):

@@ -73,3 +73,45 @@ def test_two_process_plan_matches_single(tmp_path):
     # real multi-core/multi-host hardware; this host has one core)
     eff = res1["seconds"] / (2 * res2["seconds"])
     assert eff > 0
+
+def test_two_host_sharded_index_matches_single(tmp_path):
+    """BASELINE config 5's structural claim: the reference k-mer index
+    sharded over N>=2 HOSTS inside the real pipeline.  Two jax.distributed
+    processes form one (dp, ref) mesh whose "ref" axis crosses the process
+    boundary (parallel.mesh.make_mesh), the device matcher's group-count
+    psum rides the inter-process fabric, and the cooperative run's .las
+    must be record-identical to a plain single-process run."""
+    make_blocked_dataset(tmp_path, glen=40_000, nreads=8)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        plan = generate_plan("ref.dam", "reads.db", bunit=4, nhosts=1,
+                             opts="-k14", fmt="json")
+    finally:
+        os.chdir(cwd)
+
+    env = {"DAMAPPER_INDEX": "device", "DAMAPPER_WAVE": "jax"}
+    res = run_plan_multihost(plan, nprocs=2, workdir=str(tmp_path),
+                             env_extra=env, global_index=True)
+    assert res["rc"] == 0, "\n".join(res["logs"])
+    # the workers log the cooperative mode (and that the mesh was global)
+    assert any("(global mesh)" in lg for lg in res["logs"])
+    merged = tmp_path / "reads.ref.las"
+    assert merged.exists()
+    recs2, ts2 = lasio.read_las(str(merged))
+    assert len(recs2) > 0
+
+    single = tmp_path / "single"
+    single.mkdir()
+    for f in ("ref.dam", "reads.db"):
+        os.link(tmp_path / f, single / f)
+    for f in tmp_path.iterdir():
+        if f.name.startswith("."):
+            os.link(f, single / f.name)
+    res1 = run_plan_multihost(plan, nprocs=1, workdir=str(single),
+                              env_extra=env)
+    assert res1["rc"] == 0, "\n".join(res1["logs"])
+    recs1, ts1 = lasio.read_las(str(single / "reads.ref.las"))
+
+    assert ts1 == ts2
+    assert lasio.las_equal(recs1, recs2)
