@@ -559,7 +559,12 @@ def _sharded_fns(mesh):
         return _SHARDED_CACHE[key]
     ndp = mesh.shape["dp"]
     nref = mesh.shape["ref"]
-    rep = NamedSharding(mesh, P())
+    # replicated outputs are only NEEDED across processes (the host can
+    # np.asarray any single-process array); on one process, forcing
+    # replication would all-gather the big emit/count buffers onto every
+    # device for nothing, so leave out_shardings to the compiler there
+    rep = (NamedSharding(mesh, P()) if _mesh_is_multiprocess(mesh)
+           else None)
 
     def _local_ranges(ahi_l, alo_l, bhi_l, blo_l, bn_l):
         """Per-(dp,ref)-device b-ranges of the local a slice against the

@@ -818,6 +818,9 @@ class WaveEngine:
     # direction compiles exactly once (compiles are 20-60s on the axon TPU
     # and there is no persistent cache there)
     BUCKET = int(os.environ.get("DAMAPPER_WAVE_BUCKET", 256))
+    # chunks dispatched ahead of the pull cursor (bounds device memory:
+    # each in-flight chunk holds a packed output incl. its (B,P,4) pool)
+    PIPELINE = int(os.environ.get("DAMAPPER_WAVE_PIPELINE", 4))
 
     def _run(self, which, abase, bbase, mida, k0, aoffp, boffp,
              Aflat, Bflat, sortkey=None) -> WaveResult:
@@ -857,11 +860,31 @@ class WaveEngine:
         # their group immediately instead of redundantly recomputing lane 0
         fill = dict(abase=0, bbase=0, mida=0, k0=0, aoffp=0, boffp=0)
         names = ("abase", "bbase", "mida", "k0", "aoffp", "boffp")
-        # two-phase chunk pipeline: dispatch every chunk first (JAX dispatch
-        # is async, so the device queue fills immediately), then pull the
-        # packed results in order.  While the host waits on chunk i's
-        # device->host transfer (~26ms tunnel latency + copy) the device is
-        # already computing chunks i+1.., overlapping transfer with compute.
+        # chunk pipeline: keep up to PIPELINE chunks dispatched ahead of the
+        # pull cursor (JAX dispatch is async, so the device queue fills
+        # immediately).  While the host waits on chunk i's device->host
+        # transfer (~26ms tunnel latency + copy) the device is already
+        # computing chunks i+1..; the depth bound caps how many packed
+        # output buffers (incl. the (B,P,4) pool) coexist on device.
+        chunks = []
+
+        def _pull(item):
+            nkeep, fields, shapes, flat = item
+            flat = np.asarray(flat)
+            unpacked = {}
+            off = 0
+            for f in fields:
+                shp, dt = shapes[f]
+                sz = int(np.prod(shp)) if shp else 1
+                arr = flat[off:off + sz].reshape(shp if shp else ())
+                off += sz
+                if dt == jnp.bool_:
+                    arr = arr.astype(bool)
+                unpacked[f] = arr
+            self.last_iters = int(unpacked.pop("iters", 0))
+            self.last_launches = int(unpacked.pop("launches", 0))
+            chunks.append({f: v[:nkeep] for f, v in unpacked.items()})
+
         pending = []
         for st in range(0, n, B):
             en = min(st + B, n)
@@ -881,22 +904,10 @@ class WaveEngine:
             flat = _pack_fields(tuple(fields), out)
             shapes = {f: (out[f].shape, out[f].dtype) for f in fields}
             pending.append((en - st, fields, shapes, flat))
-        chunks = []
-        for nkeep, fields, shapes, flat in pending:
-            flat = np.asarray(flat)
-            unpacked = {}
-            off = 0
-            for f in fields:
-                shp, dt = shapes[f]
-                sz = int(np.prod(shp)) if shp else 1
-                arr = flat[off:off + sz].reshape(shp if shp else ())
-                off += sz
-                if dt == jnp.bool_:
-                    arr = arr.astype(bool)
-                unpacked[f] = arr
-            self.last_iters = int(unpacked.pop("iters", 0))
-            self.last_launches = int(unpacked.pop("launches", 0))
-            chunks.append({f: v[:nkeep] for f, v in unpacked.items()})
+            if len(pending) > self.PIPELINE:
+                _pull(pending.pop(0))
+        for item in pending:
+            _pull(item)
         merged = {f: np.concatenate([c[f] for c in chunks])
                   for f in chunks[0]}
         if order is not None:

@@ -2138,6 +2138,9 @@ class PallasWaveEngine:
                      / "wave_mode.json").read_text())
             except (OSError, ValueError):
                 mode_file = {}
+            # measurements only transfer to the platform they ran on
+            if mode_file.get("platform") != jax.devices()[0].platform:
+                mode_file = {}
 
         def _opt(arg, env, key):
             if arg is not None:

@@ -25,15 +25,30 @@ MODE_FILE = REPO / "damapper_tpu" / "wave_mode.json"
 
 
 def pick(rows):
+    """Fastest configuration, compared only WITHIN one (ncases, rlen)
+    measurement group: per-lane cost amortizes with batch size, so mixing
+    batch sizes would pick by batch-size artifact rather than config merit.
+    The group used is the one that measured the MOST distinct
+    configurations (ties to the larger batch), so every mode competes."""
     rows = [r for r in rows
             if r.get("platform") not in (None, "cpu")
             and r.get("ncases", 0) >= 32]
     if not rows:
         return None
-    best = {}
+
+    def cfg(r):
+        return (bool(r.get("persistent")), bool(r.get("packops")),
+                bool(r.get("lanepack")))
+
+    groups = {}
     for r in rows:
-        key = (bool(r.get("persistent")), bool(r.get("packops")),
-               bool(r.get("lanepack")))
+        groups.setdefault((r.get("ncases"), r.get("rlen")), []).append(r)
+    chosen = max(groups.values(),
+                 key=lambda g: (len({cfg(r) for r in g}),
+                                g[0].get("ncases", 0)))
+    best = {}
+    for r in chosen:
+        key = cfg(r)
         if key not in best or r["ms_per_lane"] < best[key]["ms_per_lane"]:
             best[key] = r
     return min(best.values(), key=lambda r: r["ms_per_lane"])

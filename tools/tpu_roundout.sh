@@ -38,12 +38,14 @@ echo "== pick the measured-fastest wave mode as the default =="
 python tools/pick_wave_mode.py || true
 cat damapper_tpu/wave_mode.json 2>/dev/null || true
 
-echo "== 12Mb bench: classic vs persistent =="
-BENCH_GLEN=12000000 BENCH_NREADS=200 BENCH_VARIANTS=0 BENCH_REPEATS=1 \
-  timeout 560 python bench.py
+echo "== 12Mb bench: classic vs persistent (both legs pinned: the mode"
+echo "   file written above must not silently flip the classic leg) =="
+DAMAPPER_WAVE_PERSISTENT=0 BENCH_GLEN=12000000 BENCH_NREADS=200 \
+  BENCH_VARIANTS=0 BENCH_REPEATS=1 timeout 560 python bench.py
 DAMAPPER_WAVE_PERSISTENT=1 BENCH_GLEN=12000000 BENCH_NREADS=200 \
   BENCH_VARIANTS=0 BENCH_REPEATS=1 timeout 560 python bench.py
 
-echo "== default-config bench (the driver's round-end config) =="
+echo "== default-config bench (the driver's round-end config; unpinned"
+echo "   on purpose — this is what the picked wave_mode.json delivers) =="
 timeout 1800 python bench.py
 DAMAPPER_WAVE_PERSISTENT=1 timeout 1800 python bench.py

@@ -17,6 +17,11 @@ import pathlib
 import sys
 import time
 
+# pin every mode knob that isn't explicitly under test: without this, a
+# previously-written wave_mode.json would silently flip the engine's
+# defaults mid-measurement and the JSONL records would mislabel what ran
+os.environ.setdefault("DAMAPPER_WAVE_PACKOPS", "0")
+
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np  # noqa: E402
