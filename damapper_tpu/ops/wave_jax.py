@@ -777,6 +777,7 @@ class WaveEngine:
         self.n_hostmin = 0      # lanes routed to the host oracle (tiny rounds)
         self.n_winmiss = 0      # persistent-mode lanes retried on classic
         self.total_waves = 0    # summed per-lane wave counts (telemetry)
+        self.kit_log = []       # per-chunk kit arrays (DAMAPPER_WAVE_KIT)
         # rounds smaller than this run on the host oracle: a padded device
         # bucket costs ~1s of fixed overhead, the oracle is bit-identical
         self.host_min = int(os.environ.get("DAMAPPER_WAVE_HOSTMIN", "16"))
@@ -896,7 +897,12 @@ class WaveEngine:
                     [x, np.full(B - len(x), fill[nm], np.int32)]))
             out = fn(*[pad(x, nm) for x, nm in zip(args, names)],
                      Aflat, Bflat, *self._consts)
-            out.pop("kit", None)
+            kit = out.pop("kit", None)
+            if kit is not None and os.environ.get("DAMAPPER_WAVE_KIT"):
+                # telemetry-only extra pull: per-lane in-kernel iteration
+                # counts (every lane of a lockstep group carries its
+                # group's count), for diagnosing idle-iteration waste
+                self.kit_log.append(np.asarray(kit))
             # ONE device->host round trip for the whole result set: the
             # axon tunnel costs ~26ms latency PER transfer, so pulling a
             # dozen arrays separately dominates the batch wall-clock
