@@ -223,6 +223,17 @@ def main():
             result["variants"] = variants
     except Exception as e:  # always emit the JSON line
         result["error"] = f"{type(e).__name__}: {e}"
+    # per-mode Mosaic lowering status (tools/wave_compile_gate.py): a
+    # kernel variant that fails to compile on the real toolchain must be
+    # visible in the bench record, not discovered a round later
+    gate = REPO / "tools" / "wave_compile_status.json"
+    if gate.exists():
+        try:
+            result["wave_compile_status"] = {
+                k: v.get("status", "?")
+                for k, v in json.loads(gate.read_text()).items()}
+        except ValueError:
+            pass
     print(json.dumps(result))
 
 

@@ -360,6 +360,12 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False, lanepack=False):
     Wm = W - 1
     sgn = -1 if reverse else 1
     BIGC = np.int32(1 << 30)
+    # DEBUG ONLY (tools/wave_kit.py cost attribution): comma-separated
+    # body parts to skip — breaks parity, never set in production.  Read
+    # at trace time; _cached_driver keys don't include it, so use one
+    # setting per process.
+    _ablate = set(filter(None, os.environ.get(
+        "DAMAPPER_WAVE_ABLATE", "").split(",")))
     plane_keys = PLANES3D if planes3d else PLANES
     lo = _mk_lane_ops(W, lanepack)
     WR = lo.WR
@@ -487,8 +493,9 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False, lanepack=False):
                         st["sact"], st["sca"], st["scb"],
                         st["V"], st["NA"], st["NB"])
 
+            _pA = (jnp.bool_(False) if "phaseA" in _ablate else sA.any())
             (sy, sm, sthi, stlo, wha, whb, wma, wmb, sact, sca, scb,
-             V, NA, NB) = jax.lax.cond(sA.any(), _phaseA, _phaseA_skip, 0)
+             V, NA, NB) = jax.lax.cond(_pA, _phaseA, _phaseA_skip, 0)
             phase = jnp.where(sA, 1, st["phase"])
 
             # ---------------- phase S: one snake step ------------------
@@ -625,6 +632,8 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False, lanepack=False):
 
             def d_cond(dst):
                 N2, H2, MK2, avail, dcnt, dbuf, ovfB = dst
+                if "drops" in _ablate:
+                    return jnp.bool_(False)
                 if reverse:
                     need_any = inb2w & (X2 <= N2)
                 else:
@@ -862,8 +871,10 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False, lanepack=False):
                         st["trima"], st["trimy"], st["trimd"],
                         st["trimha"], st["trimhb"])
 
+            _tA = (jnp.bool_(False) if "trim" in _ablate
+                   else snake_done.any())
             (besta, besty, lasta, trima, trimy, trimd, trimha, trimhb) = \
-                jax.lax.cond(snake_done.any(), _trim_block, _trim_skip, 0)
+                jax.lax.cond(_tA, _trim_block, _trim_skip, 0)
 
             # store band state
             V = jnp.where(sBb & in_band, c, V)
@@ -907,10 +918,13 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False, lanepack=False):
                 morehb = jnp.where(upd, HBv, morehb)
                 return morem, morea, morey, mored, moreha, morehb
 
-            morem, morea, morey, mored, moreha, morehb = grab(
-                aclip, hit_a, morem, morea, morey, mored, moreha, morehb)
-            morem, morea, morey, mored, moreha, morehb = grab(
-                bclip, hit_b, morem, morea, morey, mored, moreha, morehb)
+            if "grab" not in _ablate:
+                morem, morea, morey, mored, moreha, morehb = grab(
+                    aclip, hit_a, morem, morea, morey, mored,
+                    moreha, morehb)
+                morem, morea, morey, mored, moreha, morehb = grab(
+                    bclip, hit_b, morem, morea, morey, mored,
+                    moreha, morehb)
             if not reverse:
                 hgh = jnp.where(hit_a, aclip - 1, hgh)
                 low = jnp.where(hit_b, bclip + 1, low)
@@ -926,13 +940,14 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False, lanepack=False):
                 ok = inb2 & (V >= b2(besta) - WAVE_LAG)
             else:
                 ok = inb2 & (V <= b2(besta) + WAVE_LAG)
-            okpos = jnp.where(ok & (rel <= b2(hgh - low)), rel, -1)
-            hi_rel = rmax(okpos)
-            lo_rel = rmin(jnp.where(okpos >= 0, okpos, W))
-            have = hi_rel >= 0
-            hgh = jnp.where(snake_done & have, low + hi_rel, hgh)
-            low = jnp.where(snake_done & have,
-                            low + jnp.minimum(lo_rel, hi_rel), low)
+            if "prune" not in _ablate:
+                okpos = jnp.where(ok & (rel <= b2(hgh - low)), rel, -1)
+                hi_rel = rmax(okpos)
+                lo_rel = rmin(jnp.where(okpos >= 0, okpos, W))
+                have = hi_rel >= 0
+                hgh = jnp.where(snake_done & have, low + hi_rel, hgh)
+                low = jnp.where(snake_done & have,
+                                low + jnp.minimum(lo_rel, hi_rel), low)
 
             # next-wave condition (evaluated after the wave, as the while
             # cond would be before the next)

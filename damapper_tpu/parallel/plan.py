@@ -28,12 +28,34 @@ def _roots(path: str):
     return pwd, root, isdam, usepath
 
 
+# Cluster submission decorations (reference HPC.damapper.c:22-46, where
+# they are compile-time #ifdef LSF / #ifdef SLURM; here a runtime option).
+# %d fields: LSF jobid; SLURM threads, mem-per-cpu (MB), jobid.
+HPC_ALIGN_LSF = ("bsub -q medium -n 4 -o DAMAPPER.out -e DAMAPPER.err "
+                 "-R span[hosts=1] -J map#%d")
+HPC_ALIGN_SLURM = ("srun -p batch -n 1 -c %d --mem_per_cpu=%d "
+                   "-o DALIGNER.out -e DALIGNER.err -J map#%d")
+
+
+def _submit_prefix(submit: str | None, jobid: int, nthreads: int,
+                   mem_gb: int | None) -> str:
+    if submit == "lsf":
+        return HPC_ALIGN_LSF % jobid + ' "'
+    if submit == "slurm":
+        mem = (mem_gb * 1024 if mem_gb is not None and mem_gb >= 0
+               else 16 * 1024) // max(nthreads, 1)
+        return HPC_ALIGN_SLURM % (nthreads, mem, jobid) + ' "'
+    return ""
+
+
 def generate_plan(ref_path: str, reads_path: str, *, bunit: int = 4,
                   first_block: int | None = None,
                   last_block: int | None = None,
                   damapper_cmd: str = "python -m damapper_tpu.cli damapper",
                   opts: str = "", nhosts: int | None = None,
-                  fmt: str = "sh", check_resume: bool = True) -> str:
+                  fmt: str = "sh", check_resume: bool = True,
+                  oname: str | None = None,
+                  submit: str | None = None) -> str:
     pwd1, root1, isdam1, usepath1 = _roots(ref_path)
     pwd2, root2, isdam2, usepath2 = _roots(reads_path)
     if root1 == root2 and pwd1 == pwd2:
@@ -103,31 +125,69 @@ def generate_plan(ref_path: str, reads_path: str, *, bunit: int = 4,
         }
         return json.dumps(plan, indent=2)
 
-    lines = [f"# Damapper jobs ({len(jobs)})"]
-    for j in jobs:
-        lines.append(f"{damapper_cmd}{(' ' + opts) if opts else ''} "
-                     + " ".join(j["args"]))
-    lines.append("# Check all .las files (optional but recommended)")
+    # -T / -M from opts drive the SLURM resource fields, as in the
+    # reference where NTHREADS/MINT feed HPC_ALIGN (HPC.damapper.c:389)
+    nthreads, mem_gb = 4, None
+    for tok in opts.split():
+        if tok.startswith("-T"):
+            nthreads = int(tok[2:])
+        elif tok.startswith("-M"):
+            mem_gb = int(tok[2:])
+
+    job_lines = [f"# Damapper jobs ({len(jobs)})"]
+    for jobid, j in enumerate(jobs, start=1):
+        pre = _submit_prefix(submit, jobid, nthreads, mem_gb)
+        cmd = (f"{damapper_cmd}{(' ' + opts) if opts else ''} "
+               + " ".join(j["args"]))
+        job_lines.append(pre + cmd + ('"' if pre else ""))
+    check_lines = ["# Check all .las files (optional but recommended)"]
+    zon = "-z" in opts.split()
+    ckflags = "-v" + ("" if zon else "a") + "S"
     if useblock2:
-        lines.append(f"python -m damapper_tpu.cli lacheck "
-                     f"{src2}.@{fblock}-{lblock}.{root1}.las")
+        check_lines.append(f"python -m damapper_tpu.cli lacheck {ckflags} "
+                           f"{src2}.@{fblock}-{lblock}.{root1}.las")
     else:
-        lines.append(f"python -m damapper_tpu.cli lacheck {src2}.{root1}.las")
-    return "\n".join(lines) + "\n"
+        check_lines.append(f"python -m damapper_tpu.cli lacheck {ckflags} "
+                           f"{src2}.{root1}.las")
+
+    if oname is not None:
+        # -f<name> job bundles (HPC.damapper.c:135-140, 364-367, 448-452;
+        # README.md:91-104): jobs to <name>.01.OVL, check block to
+        # <name>.02.CHECK.OPT, nothing on stdout
+        with open(f"{oname}.01.OVL", "w") as fh:
+            fh.write("\n".join(job_lines) + "\n")
+        with open(f"{oname}.02.CHECK.OPT", "w") as fh:
+            fh.write("\n".join(check_lines) + "\n")
+        return ""
+    return "\n".join(job_lines + check_lines) + "\n"
 
 
 def main_plan(argv: list[str]) -> int:
-    """CLI: plan [-vpzCN] [-B<int>] [-f<json|sh>] [-k..-t..-e..-s..-n..-M..-T..]
-    <ref> <reads> [first[-last]]"""
+    """CLI: plan [-vpzCN] [-B<int>] [-f<json|sh|name>] [--lsf|--slurm]
+    [-k..-t..-e..-s..-n..-M..-T..] <ref> <reads> [first[-last]]
+
+    -fjson / -fsh pick the stdout format; any other -f<name> writes the
+    reference's job bundles <name>.01.OVL + <name>.02.CHECK.OPT
+    (HPC.damapper.c:135-140).  --lsf/--slurm prefix each job with the
+    cluster submission decoration (HPC.damapper.c:22-46)."""
     opts = []
     bunit = 4
     fmt = "sh"
+    oname = None
+    submit = None
     args = []
     for a in argv:
         if a.startswith("-B"):
             bunit = int(a[2:])
+        elif a == "--lsf":
+            submit = "lsf"
+        elif a == "--slurm":
+            submit = "slurm"
         elif a.startswith("-f"):
-            fmt = a[2:] or "sh"
+            if a[2:] in ("json", "sh", ""):
+                fmt = a[2:] or "sh"
+            else:
+                oname = a[2:]
         elif a.startswith("-"):
             opts.append(a)
         else:
@@ -142,5 +202,6 @@ def main_plan(argv: list[str]) -> int:
         last = int(rng[1]) if len(rng) > 1 else first
     print(generate_plan(args[0], args[1], bunit=bunit,
                         first_block=first, last_block=last,
-                        opts=" ".join(opts), fmt=fmt), end="")
+                        opts=" ".join(opts), fmt=fmt, oname=oname,
+                        submit=submit), end="")
     return 0

@@ -137,3 +137,55 @@ def test_db_block_arg_expansion(tmp_path):
         expand_db_block_arg(base + ".@3-2")
     with pytest.raises(FileNotFoundError):
         expand_db_block_arg(str(tmp_path / "nope") + ".@")
+
+
+def test_plan_file_bundles(dbs, monkeypatch):
+    """-f<name> job bundles (HPC.damapper.c:135-140, README.md:91-104):
+    jobs land in <name>.01.OVL, the check block in <name>.02.CHECK.OPT,
+    nothing on stdout — the reference generator's file shape."""
+    monkeypatch.chdir(dbs)
+    out = generate_plan("ref.dam", "reads.db", bunit=2, oname="NAME")
+    assert out == ""
+    ovl = (dbs / "NAME.01.OVL").read_text().splitlines()
+    chk = (dbs / "NAME.02.CHECK.OPT").read_text().splitlines()
+    assert ovl[0].startswith("# Damapper jobs (")
+    assert all("lacheck" not in ln for ln in ovl)
+    assert chk[0] == "# Check all .las files (optional but recommended)"
+    assert "lacheck -vaS" in chk[1]
+
+
+def test_plan_submit_decorations(dbs, monkeypatch):
+    """--lsf/--slurm submission wrappers (HPC.damapper.c:22-46): each job
+    line is prefixed with the scheduler command and the damapper command
+    rides in quotes; -T/-M feed the SLURM resource fields."""
+    monkeypatch.chdir(dbs)
+    lsf = generate_plan("ref.dam", "reads.db", bunit=2, submit="lsf")
+    for i, ln in enumerate(
+            [l for l in lsf.splitlines()
+             if not l.startswith("#") and "lacheck" not in l], start=1):
+        assert ln.startswith(f"bsub -q medium -n 4 -o DAMAPPER.out "
+                             f"-e DAMAPPER.err -R span[hosts=1] "
+                             f"-J map#{i} \"")
+        assert ln.endswith('"')
+    slurm = generate_plan("ref.dam", "reads.db", bunit=2, submit="slurm",
+                          opts="-T8 -M32")
+    body = [l for l in slurm.splitlines()
+            if not l.startswith("#") and "lacheck" not in l]
+    # mem_per_cpu = 32GB * 1024 / 8 threads (HPC.damapper.c:389)
+    assert body[0].startswith("srun -p batch -n 1 -c 8 "
+                              "--mem_per_cpu=4096 -o DALIGNER.out "
+                              "-e DALIGNER.err -J map#1 \"")
+    # default memory: 16GB when -M absent
+    slurm_d = generate_plan("ref.dam", "reads.db", bunit=2, submit="slurm")
+    body_d = [l for l in slurm_d.splitlines()
+              if not l.startswith("#") and "lacheck" not in l]
+    assert "--mem_per_cpu=4096 " in body_d[0]   # 16*1024/4
+
+
+def test_plan_lacheck_flags(dbs, monkeypatch):
+    """LAcheck flags mirror the reference: -vaS normally, -vS with -z
+    (HPC.damapper.c:456-459)."""
+    monkeypatch.chdir(dbs)
+    assert "lacheck -vaS " in generate_plan("ref.dam", "reads.db")
+    assert "lacheck -vS " in generate_plan("ref.dam", "reads.db",
+                                           opts="-z")

@@ -23,13 +23,24 @@ from damapper_tpu.ops import device_index as di  # noqa: E402
 from damapper_tpu.pipeline import mapper as mp  # noqa: E402
 
 
+def _sync(out):
+    """Real execution barrier.  jax.block_until_ready accepts arbitrary
+    pytrees (incl. registered dataclasses like DeviceKmerIndex), but on
+    the axon tunnel it returns at dispatch — pulling one element of each
+    array leaf is the only reliable barrier there (costs ~26ms tunnel
+    latency per leaf; acceptable for a profiler)."""
+    jax.block_until_ready(out)
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "dtype") and getattr(leaf, "size", 0):
+            np.asarray(leaf.reshape(-1)[:1])
+
+
 def t(label, fn, n=2):
     outs = []
     for i in range(n):
         t0 = time.time()
         out = fn()
-        jax.block_until_ready(out) if hasattr(out, "block_until_ready") \
-            or isinstance(out, (tuple, list)) else None
+        _sync(out)
         dt = time.time() - t0
         print(f"  {label} [{i}]: {dt:.3f}s", flush=True)
         outs.append(out)

@@ -13,6 +13,12 @@ tools/tpu_roundout.sh whenever the axon tunnel comes back, and this picker
 production default to whatever actually won on hardware, with no human in
 the loop.
 
+Coverage guard: tools/wave_compile_gate.py records which modes actually
+lower on the real toolchain; this picker REFUSES to write a mode file
+unless every compiling mode has at least one warm measurement in the
+chosen group — a winner may not be declared against dark competitors
+(round-2 lesson: wave_mode.json was "picked" from a field of one).
+
 Usage: python tools/pick_wave_mode.py [results.jsonl]
 """
 
@@ -22,6 +28,7 @@ import sys
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 MODE_FILE = REPO / "damapper_tpu" / "wave_mode.json"
+STATUS_FILE = REPO / "tools" / "wave_compile_status.json"
 
 
 def pick(rows):
@@ -72,6 +79,30 @@ def main():
     if win is None:
         print("no TPU-scale rows; keeping current defaults")
         return 0
+    # minimum-coverage guard: every mode the compile gate says lowers
+    # must have a measured row, else the "winner" had no competition
+    if STATUS_FILE.exists():
+        try:
+            gate = json.loads(STATUS_FILE.read_text())
+        except ValueError:
+            gate = {}
+        sys.path.insert(0, str(REPO / "tools"))
+        from wave_compile_gate import triple
+        measured = {(bool(r.get("persistent")), bool(r.get("packops")),
+                     bool(r.get("lanepack"))) for r in rows
+                    if r.get("platform") not in (None, "cpu")}
+        missing = []
+        for name, rec in gate.items():
+            if rec.get("status") != "ok":
+                continue
+            tr = triple(name)
+            key = (tr["persistent"], tr["packops"], tr["lanepack"])
+            if key not in measured:
+                missing.append(name)
+        if missing:
+            print(f"refusing to pick: compiling modes never measured "
+                  f"warm: {missing}")
+            return 1
     out = {"persistent": bool(win.get("persistent")),
            "packops": bool(win.get("packops")),
            "lanepack": bool(win.get("lanepack")),
