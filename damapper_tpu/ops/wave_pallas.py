@@ -67,7 +67,12 @@ u32 = jnp.uint32
 # ---------------------------------------------------------------------------
 
 BAND_I32 = ("V", "M", "NA", "NB", "HA", "HB", "MA", "MB",
-            "sy", "sm", "wha", "whb", "wma", "wmb")
+            "sy", "sm", "wha", "whb", "wma", "wmb",
+            "ltk", "ltc", "lty", "ltha", "lthb")
+#   lt*: lazy per-slot trim candidates — the driver epilogue extracts the
+#   (dif, rel)-max slot instead of the kernel paying one-hot reductions
+#   per wave (reference align.c trim updates, leftmost-trigger semantics)
+TRIM_RB = 10     # rel bits in the lazy-trim ordering key (W <= 512)
 BAND_U32 = ("Thi", "Tlo", "sthi", "stlo")
 BAND_MSK = ("sact", "sca", "scb")          # stored i32 0/1
 SCALARS = ("low", "hgh", "dif", "more", "besta", "besty", "lasta",
@@ -82,7 +87,8 @@ PLANES = ("mstopN", "mb4N", "ma4N", "mstopW", "mb4W", "ma4W")
 #   j of the slot's window is a stop / b-sentinel / a-sentinel.  q-major
 #   keeps each word plane a contiguous (G, W) slice and the minor dim a
 #   multiple of the 128-lane tile
-DBUFS = ("dbuf",)                          # (.., DBUF, 4) i32
+DBUFS = ("dbuf",)    # (.., 4*DBUF) i32 SoA plane [h | k | d | n]
+DRANK = int(os.environ.get("DAMAPPER_WAVE_DRANK", 2))  # drop ranks/trip
 
 ORDER = BAND_I32 + BAND_U32 + BAND_MSK + SCALARS + PLANES + DBUFS
 
@@ -107,7 +113,7 @@ def state_arrays(n, W, BW, DBUF):
         st[nm] = jnp.zeros((n,), i32)
     for nm in PLANES:
         st[nm] = jnp.zeros((n, (BW // 32) * W), u32)
-    st["dbuf"] = jnp.zeros((n, DBUF, 4), i32)
+    st["dbuf"] = jnp.zeros((n, 4 * DBUF), i32)
     return st
 
 
@@ -178,11 +184,7 @@ def _mk_packer(W, BWW, scalar_names, with_planes):
 def _lp_pack_state(st, W):
     out = {}
     for nm, v in st.items():
-        if nm == "dbuf":
-            B, D, C = v.shape
-            out[nm] = v.reshape(B // 2, 2, D, C).transpose(0, 2, 1, 3) \
-                       .reshape(B // 2, D, 2 * C)
-        elif nm in PLANES:
+        if nm in PLANES:
             B, QW = v.shape
             Q = QW // W
             out[nm] = v.reshape(B // 2, 2, Q, W).transpose(0, 2, 1, 3) \
@@ -192,20 +194,16 @@ def _lp_pack_state(st, W):
             out[nm] = jnp.broadcast_to(v.reshape(B // 2, 2, 1),
                                        (B // 2, 2, W)) \
                          .reshape(B // 2, 2 * W)
-        else:                           # band row: lanes pair up side by side
+        else:   # band row / dbuf plane: lanes pair up side by side
             B = v.shape[0]
-            out[nm] = v.reshape(B // 2, 2 * W)
+            out[nm] = v.reshape(B // 2, 2 * v.shape[1])
     return out
 
 
 def _lp_unpack_state(st, W):
     out = {}
     for nm, v in st.items():
-        if nm == "dbuf":
-            B2, D, C2 = v.shape
-            out[nm] = v.reshape(B2, D, 2, C2 // 2).transpose(0, 2, 1, 3) \
-                       .reshape(B2 * 2, D, C2 // 2)
-        elif nm in PLANES:
+        if nm in PLANES:
             B2, QW2 = v.shape
             Q = QW2 // (2 * W)
             out[nm] = v.reshape(B2, Q, 2, W).transpose(0, 2, 1, 3) \
@@ -358,6 +356,8 @@ def _mk_lane_ops(W, lanepack):
 
 def make_segment(W, BW, P, DBUF, reverse, planes3d=False, lanepack=False):
     Wm = W - 1
+    assert (2 * W if lanepack else W) <= 1023, \
+        "packed liveness fields hold counts up to 1023"
     sgn = -1 if reverse else 1
     BIGC = np.int32(1 << 30)
     # DEBUG ONLY (tools/wave_kit.py cost attribution): comma-separated
@@ -366,6 +366,16 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False, lanepack=False):
     # setting per process.
     _ablate = set(filter(None, os.environ.get(
         "DAMAPPER_WAVE_ABLATE", "").split(",")))
+    # every lax.cond branch body is per-lane masked, so the conds are pure
+    # skip-work optimizations; DAMAPPER_WAVE_NOCOND=1 executes the bodies
+    # unconditionally instead (semantics identical) to measure whether the
+    # cond nodes themselves carry a fixed Mosaic cost
+    _nocond = os.environ.get("DAMAPPER_WAVE_NOCOND", "0") == "1"
+
+    def _maybe_cond(pred, true_fn, false_fn):
+        if _nocond:
+            return true_fn(0)
+        return jax.lax.cond(pred, true_fn, false_fn, 0)
     plane_keys = PLANES3D if planes3d else PLANES
     lo = _mk_lane_ops(W, lanepack)
     WR = lo.WR
@@ -425,18 +435,15 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False, lanepack=False):
                 is_sl = slots1 == sl
                 is_sh = slots1 == sh
 
-                def at_slot(arr, sx):
-                    return b2(rsum(jnp.where(slots1 == sx, arr, 0)))
-
                 V = jnp.where(sAb & (is_sl | is_sh), fill, V)
-                na_lo = at_slot(NA, b2((low + 1) & Wm))
-                na_hi = at_slot(NA, b2((hgh - 1) & Wm))
-                nb_lo = at_slot(NB, b2((low + 1) & Wm))
-                nb_hi = at_slot(NB, b2((hgh - 1) & Wm))
-                NA = jnp.where(sAb & is_sl, na_lo,
-                               jnp.where(sAb & is_sh, na_hi, NA))
-                NB = jnp.where(sAb & is_sl, nb_lo,
-                               jnp.where(sAb & is_sh, nb_hi, NB))
+                # border inheritance from the ring-adjacent slot: the value
+                # at (low+1)&Wm IS slot sl's ring successor (and (hgh-1)&Wm
+                # slot sh's predecessor), so ring rolls replace the four
+                # one-hot reductions (a reduction costs ~10x a roll here)
+                NA = jnp.where(sAb & is_sl, rollW(NA, -1),
+                               jnp.where(sAb & is_sh, rollW(NA, 1), NA))
+                NB = jnp.where(sAb & is_sl, rollW(NB, -1),
+                               jnp.where(sAb & is_sh, rollW(NB, 1), NB))
 
                 Vm = jnp.where(in_band, V, fill)
                 ap = rollW(Vm, -1)
@@ -495,7 +502,7 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False, lanepack=False):
 
             _pA = (jnp.bool_(False) if "phaseA" in _ablate else sA.any())
             (sy, sm, sthi, stlo, wha, whb, wma, wmb, sact, sca, scb,
-             V, NA, NB) = jax.lax.cond(_pA, _phaseA, _phaseA_skip, 0)
+             V, NA, NB) = _maybe_cond(_pA, _phaseA, _phaseA_skip)
             phase = jnp.where(sA, 1, st["phase"])
 
             # ---------------- phase S: one snake step ------------------
@@ -517,8 +524,6 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False, lanepack=False):
             # the whole lane on any invalid slot can deadlock when the
             # active span exceeds one window)
             usable = act & ~inv
-            need_rl = rany(inv) & ~rany(usable)
-            stall_reload = jnp.where(sS & need_rl, 1, st["stall_reload"])
 
             oc = jnp.clip(o, 0, BW - 1)
             if planes3d:
@@ -599,8 +604,19 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False, lanepack=False):
             scb = jnp.where(sb, 1, scb)
             sact = jnp.where(adv_done, 0, sact)
 
+            # one packed rsum answers all three liveness questions (inv /
+            # usable / still-active) that previously took three ranys:
+            # disjoint 10-bit count fields (WR <= 1023 guards overflow)
+            scode = (sact == 1).astype(i32) * (1 << 20) \
+                + usable.astype(i32) * (1 << 10) + inv.astype(i32)
+            ssum = rsum(scode)
+            any_usable = ((ssum >> 10) & 1023) > 0
+            need_rl = ((ssum & 1023) > 0) & ~any_usable
+            any_sact = ssum >= (1 << 20)
+            stall_reload = jnp.where(sS & need_rl, 1, st["stall_reload"])
+
             # ---------------- phase B: complete the wave ---------------
-            snake_done = sS & ~need_rl & ~rany(sact == 1)
+            snake_done = sS & ~need_rl & ~any_sact
             sBb = b2(snake_done)
             sBw = b2w(snake_done)
             y = sy
@@ -609,12 +625,6 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False, lanepack=False):
             clipB = (scb == 1) & in_band
             clip_any = rany(clipA | clipB)
             more = jnp.where(snake_done & clip_any, 0, st["more"])
-            if not reverse:
-                aclip = rmin(jnp.where(clipA, k, INT32_MAX))
-                bclip = rmax(jnp.where(clipB, k, -INT32_MAX))
-            else:
-                aclip = rmax(jnp.where(clipA, k, -INT32_MAX))
-                bclip = rmin(jnp.where(clipB, k, INT32_MAX))
 
             # pebble drops into the segment buffer (pool indices stay
             # globally consistent via the carried avail counter)
@@ -693,44 +703,66 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False, lanepack=False):
                 pidx = b2w(avail) + ridx            # global pool index
                 H2n = jnp.where(need, pidx, H2)
                 MK2n = jnp.where(need, N2, MK2)
-                # append the needed rows at dbuf[dcnt + rank]; ranks are
-                # consecutive, so iterate a small static cap (no scatter)
-                rows = jnp.stack([H2, k2w, jnp.broadcast_to(
-                    b2w(dif), H2.shape), N2], axis=2)       # (G, 2W, 4)
-                diota = jax.lax.broadcasted_iota(i32, (1, DBUF), 1)
+                # append the needed rows at dbuf[dcnt + rank]: dbuf is a
+                # 2D SoA plane [h | k | d | n] of DBUF columns each (per
+                # lane half when lanepacked) — 3D small-minor buffers both
+                # scale badly with G and can SIGABRT this Mosaic toolchain.
+                # Ranks are consecutive, so a small static cap (DRANK)
+                # serves a whole wave's drops almost always; rank overflow
+                # just takes another d_body trip.
                 newbuf = dbuf
                 if lanepack:
-                    lane0c = ((jax.lax.broadcasted_iota(
-                        i32, need.shape, 1) // W) & 1) == 0
-                    l0 = lane0c[:, :, None]
-                    cidx8 = jax.lax.broadcasted_iota(i32, (1, 1, 8), 2)
-                    for rr in range(8):
-                        selz = (need & (ridx == rr))[:, :, None]
-                        r0 = jnp.sum(jnp.where(selz & l0, rows, 0), axis=1)
-                        r1 = jnp.sum(jnp.where(selz & ~l0, rows, 0), axis=1)
-                        rfull = jnp.concatenate([r0, r1], axis=1)  # (G, 8)
-                        m0 = ((diota == dcnt[:, 0:1] + rr) &
-                              (cnt[:, 0:1] > rr))[:, :, None] & (cidx8 < 4)
-                        m1 = ((diota == dcnt[:, W:W + 1] + rr) &
-                              (cnt[:, W:W + 1] > rr))[:, :, None] & \
-                            (cidx8 >= 4)
-                        newbuf = jnp.where(m0 | m1, rfull[:, None, :],
-                                           newbuf)
+                    dio8 = jax.lax.broadcasted_iota(i32, (1, 8 * DBUF), 1)
+                    half8 = dio8 // (4 * DBUF)
+                    rem8 = dio8 - half8 * (4 * DBUF)
+                    fid = rem8 // DBUF
+                    col = rem8 - fid * DBUF
+
+                    def lane_col(row2w):
+                        # (G, 2W) half-broadcast row -> per-column value of
+                        # the column's lane half in dbuf space
+                        return jnp.where(half8 == 0, row2w[:, 0:1],
+                                         row2w[:, W:W + 1])
+
+                    for rr in range(DRANK):
+                        sel = (need & (ridx == rr)).astype(i32)
+                        # fold the A/B blocks to one (G, WR) row with the
+                        # selected value at its slot, then a within-half
+                        # butterfly broadcasts it to the whole half
+                        hrow = rsum(sel[:, :WR] * H2[:, :WR]
+                                    + sel[:, WR:] * H2[:, WR:])
+                        krow = rsum(sel[:, :WR] * k2w[:, :WR]
+                                    + sel[:, WR:] * k2w[:, WR:])
+                        nrow = rsum(sel[:, :WR] * N2[:, :WR]
+                                    + sel[:, WR:] * N2[:, WR:])
+                        val = jnp.where(
+                            fid == 0, lane_col(hrow),
+                            jnp.where(fid == 1, lane_col(krow),
+                                      jnp.where(fid == 2, lane_col(dif),
+                                                lane_col(nrow))))
+                        at = lane_col(dcnt) + rr
+                        hs = lane_col(cnt) > rr
+                        newbuf = jnp.where((col == at) & hs, val, newbuf)
                 else:
-                    for rr in range(8):
-                        has = cnt > rr
-                        sel = (need & (ridx == rr)).astype(i32)  # one slot
-                        row = jnp.sum(jnp.where(sel[:, :, None] != 0,
-                                                rows, 0),
-                                      axis=1)                    # (G, 4)
+                    dio4 = jax.lax.broadcasted_iota(i32, (1, 4 * DBUF), 1)
+                    fid = dio4 // DBUF
+                    col = dio4 - fid * DBUF
+                    for rr in range(DRANK):
+                        sel = need & (ridx == rr)      # one slot per lane
+                        hval = rsum(jnp.where(sel, H2, 0))
+                        kval = rsum(jnp.where(sel, k2w, 0))
+                        nval = rsum(jnp.where(sel, N2, 0))
+                        val = jnp.where(
+                            fid == 0, b2(hval),
+                            jnp.where(fid == 1, b2(kval),
+                                      jnp.where(fid == 2, b2(dif),
+                                                b2(nval))))
                         at = b2(dcnt) + rr
-                        mask = ((diota == at) &
-                                (b2(has.astype(i32)) != 0)).astype(i32)
-                        newbuf = jnp.where(mask[:, :, None] != 0,
-                                           row[:, None, :], newbuf)
-                done8 = jnp.minimum(cnt, 8)
-                # slots with rank >= 8 wait for the next trip
-                processed = need & (ridx < 8)
+                        hs = b2(cnt) > rr
+                        newbuf = jnp.where((col == at) & hs, val, newbuf)
+                done8 = jnp.minimum(cnt, DRANK)
+                # slots with rank >= DRANK wait for the next trip
+                processed = need & (ridx < DRANK)
                 H2 = jnp.where(processed, H2n, H2)
                 MK2 = jnp.where(processed, MK2n, MK2)
                 adv = dact & (~need | processed)
@@ -797,8 +829,6 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False, lanepack=False):
                                          sufL_x)
                     runbase = jnp.maximum(b2(besta), suf_excl)
                     trigger = in_band & (c > runbase)
-                    new_besta = jnp.maximum(
-                        besta, rmax(jnp.where(in_band, c, NEG_BIG)))
                 else:
                     cU = jnp.where(in_band & maskU, c, INT32_MAX)
                     cL = jnp.where(in_band & ~maskU, c, INT32_MAX)
@@ -813,8 +843,6 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False, lanepack=False):
                                          jnp.minimum(preL_x, minU))
                     runbase = jnp.minimum(b2(besta), pre_excl)
                     trigger = in_band & (c < runbase)
-                    new_besta = jnp.minimum(
-                        besta, rmin(jnp.where(in_band, c, INT32_MAX)))
 
                 i1 = (stlo & 0x7FFF).astype(i32)
                 i2 = ((stlo >> 15) & 0x7FFF).astype(i32)
@@ -833,48 +861,56 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False, lanepack=False):
                 tbl_ok = (t1 >= 0) & (t2 + s1 >= 0)
                 m_ok = sm >= pave
 
+                # leftmost-trigger picks WITHOUT one-hot scans: triggers
+                # are right-to-left record holders of c, so their c values
+                # strictly improve toward the chosen (fwd: leftmost) slot —
+                # the chosen slot's c IS the extreme over the mask, and its
+                # other fields come from one one-hot sum at (c == extreme)
                 if not reverse:
-                    def chosen(msk):
-                        return b2(rmin(jnp.where(msk, rel, W)))
+                    bandc = rmax(jnp.where(in_band, c, NEG_BIG))
+                    any0 = bandc > besta
+                    new_besta = jnp.maximum(besta, bandc)
+                    lastc = rmax(jnp.where(trigger & m_ok, c, NEG_BIG))
+                    any1 = lastc != NEG_BIG
                 else:
-                    def chosen(msk):
-                        return b2(rmax(jnp.where(msk, rel, -1)))
-
-                def pick_at(msk, arr):
-                    oneh = msk & (rel == chosen(msk))
-                    return rsum(jnp.where(oneh, arr, 0))
-
-                any0 = rany(trigger)
-                besty = jnp.where(snake_done & any0, pick_at(trigger, y),
-                                  st["besty"])
+                    bandc = rmin(jnp.where(in_band, c, INT32_MAX))
+                    any0 = bandc < besta
+                    new_besta = jnp.minimum(besta, bandc)
+                    lastc = rmin(jnp.where(trigger & m_ok, c, INT32_MAX))
+                    any1 = lastc != INT32_MAX
+                selb = trigger & (c == b2(bandc))
+                kstar = rsum(jnp.where(selb, k, 0))
+                besty = jnp.where(snake_done & any0,
+                                  (bandc - kstar) >> 1, st["besty"])
                 besta = jnp.where(snake_done, new_besta, besta)
+                lasta = jnp.where(snake_done & any1, lastc, st["lasta"])
 
-                trig_m = trigger & m_ok
-                any1 = rany(trig_m)
-                lasta = jnp.where(snake_done & any1, pick_at(trig_m, c),
-                                  st["lasta"])
+                # trima/trimy/trimd/trimha/trimhb are OUTPUT-only: record
+                # the candidate per slot (elementwise planes) and let the
+                # driver epilogue pick the last wave's leftmost slot via
+                # the (dif, rel) key — five one-hot reductions per wave
+                # become zero
+                trig_t = trigger & m_ok & tbl_ok
+                upd_s = trig_t & sBb
+                relenc = (Wm - rel) if not reverse else rel
+                ldkey = (b2(dif) << TRIM_RB) | relenc
+                ltk = jnp.where(upd_s, ldkey, st["ltk"])
+                ltc = jnp.where(upd_s, c, st["ltc"])
+                lty = jnp.where(upd_s, y, st["lty"])
+                ltha = jnp.where(upd_s, wha, st["ltha"])
+                lthb = jnp.where(upd_s, whb, st["lthb"])
 
-                trig_t = trig_m & tbl_ok
-                any2 = rany(trig_t)
-                upd2 = snake_done & any2
-                trima = jnp.where(upd2, pick_at(trig_t, c), st["trima"])
-                trimy = jnp.where(upd2, pick_at(trig_t, y), st["trimy"])
-                trimd = jnp.where(upd2, dif, st["trimd"])
-                trimha = jnp.where(upd2, pick_at(trig_t, wha), st["trimha"])
-                trimhb = jnp.where(upd2, pick_at(trig_t, whb), st["trimhb"])
-
-                return (besta, besty, lasta, trima, trimy, trimd,
-                        trimha, trimhb)
+                return (besta, besty, lasta, ltk, ltc, lty, ltha, lthb)
 
             def _trim_skip(_):
                 return (st["besta"], st["besty"], st["lasta"],
-                        st["trima"], st["trimy"], st["trimd"],
-                        st["trimha"], st["trimhb"])
+                        st["ltk"], st["ltc"], st["lty"],
+                        st["ltha"], st["lthb"])
 
             _tA = (jnp.bool_(False) if "trim" in _ablate
                    else snake_done.any())
-            (besta, besty, lasta, trima, trimy, trimd, trimha, trimhb) = \
-                jax.lax.cond(_tA, _trim_block, _trim_skip, 0)
+            (besta, besty, lasta, ltk, ltc, lty, ltha, lthb) = \
+                _maybe_cond(_tA, _trim_block, _trim_skip)
 
             # store band state
             V = jnp.where(sBb & in_band, c, V)
@@ -887,51 +923,62 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False, lanepack=False):
             MB = jnp.where(sBb & in_band, wmb, st["MB"])
 
             # clip block (value grabs in one-hot form; the REACH `rest`
-            # byte test is deferred to the driver via stall_rest)
-            clipped = snake_done & (more == 0) & (st["more"] == 1)
-            if not reverse:
-                hit_a = clipped & (hgh >= aclip)
-                hit_b = clipped & (low <= bclip)
-            else:
-                hit_a = clipped & (low <= aclip)
-                hit_b = clipped & (hgh >= bclip)
+            # byte test is deferred to the driver via stall_rest).  A lane
+            # clips at most twice in its whole run, so the entire block —
+            # clip-diagonal reductions, grabs, border updates — rides one
+            # scalar lax.cond that is almost always false.
+            clipped = snake_done & clip_any & (st["more"] == 1)
 
-            morem = st["morem"]
-            morea = st["morea"]
-            morey = st["morey"]
-            mored = st["mored"]
-            moreha = st["moreha"]
-            morehb = st["morehb"]
+            def _clip_block(_):
+                if not reverse:
+                    aclip = rmin(jnp.where(clipA, k, INT32_MAX))
+                    bclip = rmax(jnp.where(clipB, k, -INT32_MAX))
+                    hit_a = clipped & (hgh >= aclip)
+                    hit_b = clipped & (low <= bclip)
+                else:
+                    aclip = rmax(jnp.where(clipA, k, -INT32_MAX))
+                    bclip = rmin(jnp.where(clipB, k, INT32_MAX))
+                    hit_a = clipped & (low <= aclip)
+                    hit_b = clipped & (hgh >= bclip)
 
-            def grab(kc, hit, morem, morea, morey, mored, moreha, morehb):
-                sel = k == b2(kc)
-                Mv = rsum(jnp.where(sel, M, 0))
-                Vv = rsum(jnp.where(sel, V, 0))
-                HAv = rsum(jnp.where(sel, HA, 0))
-                HBv = rsum(jnp.where(sel, HB, 0))
-                upd = hit & (morem <= Mv)
-                morem = jnp.where(upd, Mv, morem)
-                morea = jnp.where(upd, Vv, morea)
-                morey = jnp.where(upd, (Vv - kc) // 2, morey)
-                mored = jnp.where(upd, dif, mored)
-                moreha = jnp.where(upd, HAv, moreha)
-                morehb = jnp.where(upd, HBv, morehb)
-                return morem, morea, morey, mored, moreha, morehb
+                def grab(kc, hit, morem, morea, morey, mored,
+                         moreha, morehb):
+                    sel = k == b2(kc)
+                    Mv = rsum(jnp.where(sel, M, 0))
+                    Vv = rsum(jnp.where(sel, V, 0))
+                    HAv = rsum(jnp.where(sel, HA, 0))
+                    HBv = rsum(jnp.where(sel, HB, 0))
+                    upd = hit & (morem <= Mv)
+                    morem = jnp.where(upd, Mv, morem)
+                    morea = jnp.where(upd, Vv, morea)
+                    morey = jnp.where(upd, (Vv - kc) // 2, morey)
+                    mored = jnp.where(upd, dif, mored)
+                    moreha = jnp.where(upd, HAv, moreha)
+                    morehb = jnp.where(upd, HBv, morehb)
+                    return morem, morea, morey, mored, moreha, morehb
 
-            if "grab" not in _ablate:
-                morem, morea, morey, mored, moreha, morehb = grab(
-                    aclip, hit_a, morem, morea, morey, mored,
-                    moreha, morehb)
-                morem, morea, morey, mored, moreha, morehb = grab(
-                    bclip, hit_b, morem, morea, morey, mored,
-                    moreha, morehb)
-            if not reverse:
-                hgh = jnp.where(hit_a, aclip - 1, hgh)
-                low = jnp.where(hit_b, bclip + 1, low)
-            else:
-                low = jnp.where(hit_a, aclip + 1, low)
-                hgh = jnp.where(hit_b, bclip - 1, hgh)
-            stall_rest = jnp.where(clipped, 1, st["stall_rest"])
+                mm = grab(aclip, hit_a, st["morem"], st["morea"],
+                          st["morey"], st["mored"], st["moreha"],
+                          st["morehb"])
+                mm = grab(bclip, hit_b, *mm)
+                if not reverse:
+                    hgh2 = jnp.where(hit_a, aclip - 1, hgh)
+                    low2 = jnp.where(hit_b, bclip + 1, low)
+                else:
+                    low2 = jnp.where(hit_a, aclip + 1, low)
+                    hgh2 = jnp.where(hit_b, bclip - 1, hgh)
+                srest = jnp.where(clipped, 1, st["stall_rest"])
+                return mm + (low2, hgh2, srest)
+
+            def _clip_skip(_):
+                return (st["morem"], st["morea"], st["morey"], st["mored"],
+                        st["moreha"], st["morehb"], low, hgh,
+                        st["stall_rest"])
+
+            _cA = (jnp.bool_(False) if "grab" in _ablate
+                   else clipped.any())
+            (morem, morea, morey, mored, moreha, morehb, low, hgh,
+             stall_rest) = _maybe_cond(_cA, _clip_block, _clip_skip)
 
             # band prune
             k2 = b2(low) + jnp.remainder(slots1 - b2(low), W)
@@ -965,8 +1012,8 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False, lanepack=False):
                       wha=wha, whb=whb, wma=wma, wmb=wmb, sact=sact,
                       sca=sca, scb=scb, low=low, hgh=hgh, dif=dif,
                       more=more, besta=besta, besty=besty, lasta=lasta,
-                      trima=trima, trimy=trimy, trimd=trimd, trimha=trimha,
-                      trimhb=trimhb, morem=morem, morea=morea, morey=morey,
+                      ltk=ltk, ltc=ltc, lty=lty, ltha=ltha, lthb=lthb,
+                      morem=morem, morea=morea, morey=morey,
                       mored=mored, moreha=moreha, morehb=morehb,
                       overflow=ovfB, avail=avail, dcnt=dcnt, dbuf=dbuf,
                       phase=phase, live=live, stall_reload=stall_reload,
@@ -1129,6 +1176,9 @@ def make_prologue(W, P, BW, DBUF, reverse):
 
         out = dict(V=V, M=M, NA=NA, NB=NB, HA=HA, HB=HB, MA=MA, MB=MB,
                    Thi=Thi, Tlo=Tlo,
+                   ltk=jnp.zeros(W, i32), ltc=jnp.zeros(W, i32),
+                   lty=jnp.zeros(W, i32), ltha=jnp.zeros(W, i32),
+                   lthb=jnp.zeros(W, i32),
                    sy=jnp.zeros(W, i32), sm=jnp.zeros(W, i32),
                    sthi=jnp.zeros(W, u32), stlo=jnp.zeros(W, u32),
                    wha=jnp.zeros(W, i32), whb=jnp.zeros(W, i32),
@@ -1147,10 +1197,33 @@ def make_prologue(W, P, BW, DBUF, reverse):
                    abase=abase, bbase=bbase, aoffp=aoffp, boffp=boffp,
                    **{nm: jnp.zeros(((BW // 32) * W,), u32)
                       for nm in PLANES},
-                   dbuf=jnp.zeros((DBUF, 4), i32))
+                   dbuf=jnp.zeros((4 * DBUF,), i32))
         return out, pool
 
     return prologue
+
+
+def _trim_extract(st, reverse):
+    """Final trima/trimy/trimd/trimha/trimhb from the lazy per-slot trim
+    planes: the slot with the max (dif, rel-preference) key is the last
+    wave's leftmost (reverse: rightmost) trig_t slot — exactly the slot
+    the reference updates trim state from.  Runs ONCE per batch in the
+    XLA driver epilogue; lanes that never triggered keep their prologue
+    values (ltk stays 0; in-kernel keys are >= 1 << TRIM_RB)."""
+    ltk = st["ltk"]
+    sl = jnp.argmax(ltk, axis=1)
+    kmax = jnp.take_along_axis(ltk, sl[:, None], 1)[:, 0]
+    have = kmax > 0
+
+    def pick(nm):
+        return jnp.take_along_axis(st[nm], sl[:, None], 1)[:, 0]
+
+    return dict(
+        trima=jnp.where(have, pick("ltc"), st["trima"]),
+        trimy=jnp.where(have, pick("lty"), st["trimy"]),
+        trimd=jnp.where(have, kmax >> TRIM_RB, st["trimd"]),
+        trimha=jnp.where(have, pick("ltha"), st["trimha"]),
+        trimhb=jnp.where(have, pick("lthb"), st["trimhb"]))
 
 
 def _yref_of(st, W, reverse, lanepack=False):
@@ -1313,7 +1386,7 @@ def make_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
             return pl.BlockSpec((Gm, w), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
 
-        dspec = pl.BlockSpec((Gm, DBUF, 8), lambda i: (i, 0, 0),
+        dspec = pl.BlockSpec((Gm, 8 * DBUF), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
         obi, obu, odb = pl.pallas_call(
             kernel,
@@ -1357,7 +1430,7 @@ def make_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
             return pl.BlockSpec((Gm, w), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
 
-        dspec = pl.BlockSpec((Gm, DBUF, 4), lambda i: (i, 0, 0),
+        dspec = pl.BlockSpec((Gm, 4 * DBUF), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
         obi, obu, osc, odb = pl.pallas_call(
             kernel,
@@ -1506,19 +1579,22 @@ def make_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
             _it = st.pop("_it")
             st = dict(segment(st, ts, pave, msc, dsc), _it=_it)
 
-            # flush the drop buffers into the pool (contiguous append)
+            # flush the drop buffers into the pool (contiguous append);
+            # the SoA plane restacks to (DBUF, 4) rows here in XLA
             base = jnp.clip(st["avail"] - st["dcnt"], 0, P)
+            drows = jnp.stack(
+                [st["dbuf"][:, f * DBUF:(f + 1) * DBUF] for f in range(4)],
+                axis=2)
             pool = jax.vmap(
                 lambda pl_, b, rows: jax.lax.dynamic_update_slice(
                     pl_, rows, (b, 0))
-            )(pool, base, st["dbuf"])
+            )(pool, base, drows)
             st = dict(st, dcnt=jnp.zeros_like(st["dcnt"]))
             return (st, pool)
 
         st, pool = jax.lax.while_loop(cond, body, (st1, pool))
         pool = pool[:, :P]
-        return dict(trima=st["trima"], trimy=st["trimy"], trimd=st["trimd"],
-                    trimha=st["trimha"], trimhb=st["trimhb"],
+        return dict(_trim_extract(st, reverse),
                     morem=st["morem"], morea=st["morea"],
                     morey=st["morey"], mored=st["mored"],
                     moreha=st["moreha"], morehb=st["morehb"], pool=pool,
@@ -1559,11 +1635,18 @@ def _pow2ceil(x):
 
 def _win_slice(seq3, off, nwords):
     """(1, nwords*128) window of a lane's (R, 128) sequence at element
-    offset `off` (pre-clamped by the caller to [0, R*128 - nwords*128])."""
+    offset `off` (pre-clamped by the caller to [0, R*128 - nwords*128]).
+    A sublane-dynamic `dynamic_slice` is an unimplemented Mosaic
+    primitive on this toolchain (round-2 compile failure), so the row
+    selection is log-doubling masked STATIC sublane rolls instead."""
     R = seq3.shape[0]
     c0 = jnp.clip(off // 128, 0, R - (nwords + 2))
     r = off - c0 * 128                       # 0..256
-    coarse = jax.lax.dynamic_slice(seq3, (c0, 0), (nwords + 2, 128))
+    rows = seq3
+    for j in range(max(1, (R - 1).bit_length())):
+        rows = jnp.where((c0 >> j) & 1 == 1,
+                         jnp.roll(rows, -(1 << j), axis=0), rows)
+    coarse = rows[:nwords + 2]
     row = jnp.concatenate([coarse[s:s + 1] for s in range(nwords + 2)],
                           axis=1)            # (1, (nwords+2)*128)
     for j in range(9):                       # lane roll left by r (<= 256)
@@ -1574,12 +1657,13 @@ def _win_slice(seq3, off, nwords):
 
 def _byte_at(seq3, loc):
     """Scalar element of a lane's (R, 128) sequence at element index `loc`
-    (pre-clamped to [0, R*128-1])."""
+    (pre-clamped to [0, R*128-1]).  One full one-hot select — no
+    sublane-dynamic slicing (unimplemented in this Mosaic toolchain)."""
     c0 = jnp.clip(loc // 128, 0, seq3.shape[0] - 1)
-    row = jax.lax.dynamic_slice(seq3, (c0, 0), (1, 128))
     l = loc - c0 * 128
-    lane = jax.lax.broadcasted_iota(i32, (1, 128), 1)
-    return jnp.sum(jnp.where(lane == l, row, 0))
+    rowio = jax.lax.broadcasted_iota(i32, seq3.shape, 0)
+    laneio = jax.lax.broadcasted_iota(i32, seq3.shape, 1)
+    return jnp.sum(jnp.where((rowio == c0) & (laneio == l), seq3, 0))
 
 
 def make_persistent_kernel(W, P, BW, DBUF, G, reverse, maxit=0,
@@ -1843,7 +1927,7 @@ def make_persistent_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
             return pl.BlockSpec((Gm, w), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
 
-        dspec = pl.BlockSpec((Gm, DBUF, 8), lambda i: (i, 0, 0),
+        dspec = pl.BlockSpec((Gm, 8 * DBUF), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
         # the window operands stay per-lane: each kernel block covers the
         # 2*Gm logical lanes of its Gm rows
@@ -1896,7 +1980,7 @@ def make_persistent_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
             return pl.BlockSpec((Gm, w), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
 
-        dspec = pl.BlockSpec((Gm, DBUF, 4), lambda i: (i, 0, 0),
+        dspec = pl.BlockSpec((Gm, 4 * DBUF), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
         sspec = [pl.BlockSpec((Gm,) + s.shape[1:], lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -2046,12 +2130,16 @@ def make_persistent_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
             def body(c):
                 st, pool, lcnt = c
                 st = kernel(st, aseq3, bseq3, LA, LB, ts, pave, msc, dsc)
-                # flush the drop buffers into the pool (contiguous append)
+                # flush the drop buffers into the pool (contiguous
+                # append); the SoA plane restacks to (DBUF, 4) rows here
                 base = jnp.clip(st["avail"] - st["dcnt"], 0, P)
+                drows = jnp.stack(
+                    [st["dbuf"][:, f * DBUF:(f + 1) * DBUF]
+                     for f in range(4)], axis=2)
                 pool = jax.vmap(
                     lambda pl_, b, rows: jax.lax.dynamic_update_slice(
                         pl_, rows, (b, 0))
-                )(pool, base, st["dbuf"])
+                )(pool, base, drows)
                 st = dict(st, dcnt=jnp.zeros_like(st["dcnt"]),
                           stall_dbuf=jnp.zeros_like(st["stall_dbuf"]))
                 return (st, pool, lcnt + 1)
@@ -2061,9 +2149,7 @@ def make_persistent_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
             pool = pool[:, :P]
             overflow_f = jnp.where(st["live"] == 1, 1, st["overflow"])
             st = dict(st, overflow=overflow_f)
-            return dict(trima=st["trima"], trimy=st["trimy"],
-                        trimd=st["trimd"],
-                        trimha=st["trimha"], trimhb=st["trimhb"],
+            return dict(_trim_extract(st, reverse),
                         morem=st["morem"], morea=st["morea"],
                         morey=st["morey"], mored=st["mored"],
                         moreha=st["moreha"], morehb=st["morehb"],

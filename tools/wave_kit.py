@@ -46,11 +46,14 @@ def main():
                            persistent=False)
     eng.host_min = 0
     eng.local_alignment_batch(dev, dev, seqmem, seqmem, insts)  # compile
-    eng.kit_log = []
-    eng.total_waves = 0
-    t0 = time.time()
-    eng.local_alignment_batch(dev, dev, seqmem, seqmem, insts)
-    dt = time.time() - t0
+    # tunnel jitter swings single runs ~30%: take the min of 3 warm runs
+    dt = float("inf")
+    for _ in range(3):
+        eng.kit_log = []
+        eng.total_waves = 0
+        t0 = time.time()
+        eng.local_alignment_batch(dev, dev, seqmem, seqmem, insts)
+        dt = min(dt, time.time() - t0)
     # each lane of a lockstep group carries the group's iteration count:
     # take one lane per group
     git = 0
