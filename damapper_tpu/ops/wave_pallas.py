@@ -2213,19 +2213,26 @@ class PallasWaveEngine:
     (bucketing, trace extraction, fshort/rshort refinement, fallback) is
     inherited from WaveEngine."""
 
-    def __new__(cls, spec, band_cap=64, pool_cap=2048, mesh=None,
+    def __new__(cls, spec, band_cap=None, pool_cap=2048, mesh=None,
                 use_pallas=None, interpret=False, group=None,
                 persistent=None, lanepack=None):
         from . import wave_jax
 
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform != "cpu"
+        defaulted_cap = band_cap is None
+        if defaulted_cap:
+            # measured (round 3, tools/wave_kit.py): W=128 rows fill the
+            # 128-lane vreg minor dim and halve reload stalls; the doubled
+            # band capacity also cuts band-overflow host fallbacks.  CPU
+            # (tests) keeps the smaller, faster-compiling shape.
+            band_cap = int(os.environ.get(
+                "DAMAPPER_WAVE_BANDCAP", 128 if use_pallas else 64))
         if group is None:
-            # measured on real batches: (G,W) ops have flat ~57ns cost, but
-            # the snake's (G,W,BW) plane ops scale past G=8 and lockstep
-            # divergence grows with the group, so G=8 wins end to end
-            # (G=32 was ~25% slower on a 201-lane 12Mb batch)
-            group = int(os.environ.get("DAMAPPER_WAVE_GROUP", 8))
+            # measured at W=128 on the chip: per-iteration cost is a fixed
+            # ~30us plus ~2.2us per lane, so G=32 amortizes the fixed part
+            # ~1.7x better than G=8; G=64 regresses (VMEM pressure)
+            group = int(os.environ.get("DAMAPPER_WAVE_GROUP", 32))
         # measured default: tools/pick_wave_mode.py writes the fastest
         # hardware-measured (persistent, packops, lanepack) triple here.
         # Explicit constructor args and env vars both override it; CPU runs
@@ -2342,7 +2349,13 @@ class PallasWaveEngine:
                 return res
 
         eng = _Engine(spec, band_cap=band_cap, pool_cap=pool_cap, mesh=mesh)
-        eng._BW = max(128, band_cap + 64)
+        # measured: at W=128 a 256-wide window (128 slack) cuts driver
+        # reload iterations ~25% at no per-iteration cost; explicit
+        # band_cap callers keep the historical +64 window
+        eng._BW = int(os.environ.get(
+            "DAMAPPER_WAVE_BW",
+            256 if (defaulted_cap and use_pallas)
+            else max(128, band_cap + 64)))
         # persistent: a bigger drop buffer means the kernel usually runs a
         # whole lane to completion in ONE launch (drops per lane ~4*alen/TS)
         eng._DBUF = int(os.environ.get("DAMAPPER_WAVE_DBUF",
