@@ -91,6 +91,9 @@ class DeviceKmerIndex:
     n: int
     boffs: jax.Array   # int32[rcap] read start offsets (padding: cap-1)
     kmer: int
+    rlens: jax.Array | None = None   # int32[rcap] read lengths (pad: 0) —
+    #   enables emission-time strand-frame mirroring (comp matching
+    #   against a forward index)
 
     def __len__(self):
         return self.n
@@ -280,10 +283,13 @@ def device_sort_kmers(db, kmer: int, suppress: int = 0, comp: bool = False,
     mb = _mask_bad(db, cap) if db.tracks else np.zeros(0, np.uint8)
 
     boffs_dev = jnp.asarray(boffs)
+    rlens = np.zeros(rcap, np.int32)
+    rlens[:db.nreads] = db.reads["rlen"]
     hi, lo, pos, nvalid = _build_index(
         seq_dev, boffs_dev, jnp.asarray(eoffs), jnp.asarray(mb), kmer,
         suppress, comp)
-    return DeviceKmerIndex(hi, lo, pos, int(nvalid), boffs_dev, kmer)
+    return DeviceKmerIndex(hi, lo, pos, int(nvalid), boffs_dev, kmer,
+                           jnp.asarray(rlens))
 
 
 # ---------------------------------------------------------------------------
@@ -459,10 +465,52 @@ def _match_emit(a_pos, aboffs, b_pos, bboffs, b_lo, cum, ncap: int,
     return jnp.stack([ar, br, ap, dg])
 
 
+@functools.partial(jax.jit, static_argnames=("ncap", "akmer", "bkmer"))
+def _match_emit_comp(a_pos, aboffs, a_rlens, b_pos, bboffs, b_rlens,
+                     b_lo, cum, ncap: int, akmer: int, bkmer: int):
+    """Pass 2, complement frame: the a side is the reads' REVCOMP index
+    and the b side the FORWARD reference index, but the emitted hits must
+    be bit-identical with matching the forward reads against a
+    complemented reference (the reference's orientation loop,
+    damapper.c:851-861).  Frame mirror per hit: ap -> rlen+k-2-ap (read
+    fwd coords), bp -> clen+k-2-bp (contig comp coords).  Reference tie
+    order for equal (ar, br, ap) is ascending comp bp — the forward index
+    enumerates it descending, so bp joins the sort as an explicit 4th key
+    instead of relying on emission-order stability."""
+    t = jnp.arange(ncap, dtype=jnp.int32)
+    total = cum[-1]
+    a_row = jnp.searchsorted(cum, t, side="right").astype(jnp.int32)
+    a_row = jnp.minimum(a_row, cum.shape[0] - 1)
+    prev = jnp.where(a_row > 0, cum[jnp.maximum(a_row - 1, 0)], 0)
+    b_off = (t - prev).astype(jnp.int32)
+    b_row = b_lo[a_row] + b_off
+
+    pad = t >= total
+    big = jnp.int32(0x7FFFFFFF)
+    ar, ap_rc = _pos_to_read_rpos(a_pos[a_row], aboffs, akmer)
+    ap = a_rlens[ar] + (akmer - 2) - ap_rc
+    br, bp = _pos_to_read_rpos(
+        b_pos[jnp.minimum(b_row, b_pos.shape[0] - 1)], bboffs, bkmer)
+    bpc = b_rlens[br] + (bkmer - 2) - bp
+    ar = jnp.where(pad, big, ar)
+    ap = jnp.where(pad, 0, ap)
+    br = jnp.where(pad, 0, br)
+    bpc = jnp.where(pad, 0, bpc)
+    ar, br, ap, bpc = lax.sort((ar, br, ap, bpc), num_keys=4)
+    dg = jnp.where(ar == big, 0, ap - bpc)
+    return jnp.stack([ar, br, ap, dg])
+
+
 def device_match_seeds(aidx: DeviceKmerIndex, bidx: DeviceKmerIndex,
-                       mem_limit: int = 0, db_bytes: int = 0) -> SeedHits:
+                       mem_limit: int = 0, db_bytes: int = 0,
+                       comp_frame: bool = False) -> SeedHits:
     """Intersect two device k-mer indexes; returns host SeedHits bit-exact
-    with seeds.match_seeds (Match_Filter passes, map.c:2889-3135)."""
+    with seeds.match_seeds (Match_Filter passes, map.c:2889-3135).
+
+    comp_frame=True: `aidx` is the reads' revcomp index and `bidx` the
+    FORWARD reference index; hits come out in the reference's complement
+    frame (identical to matching reads-fwd against a complemented ref
+    index) — one reference index build serves both orientations."""
     empty = SeedHits(*(np.zeros(0, np.int32),) * 4)
     if aidx.n == 0 or bidx.n == 0:
         return empty
@@ -487,9 +535,14 @@ def device_match_seeds(aidx: DeviceKmerIndex, bidx: DeviceKmerIndex,
     if total == 0:
         return empty
     ncap = _bucket(total)
-    packed = np.asarray(_match_emit(aidx.pos, aidx.boffs, bidx.pos,
-                                    bidx.boffs, b_lo, cum, ncap,
-                                    aidx.kmer, bidx.kmer))
+    if comp_frame:
+        packed = np.asarray(_match_emit_comp(
+            aidx.pos, aidx.boffs, aidx.rlens, bidx.pos, bidx.boffs,
+            bidx.rlens, b_lo, cum, ncap, aidx.kmer, bidx.kmer))
+    else:
+        packed = np.asarray(_match_emit(aidx.pos, aidx.boffs, bidx.pos,
+                                        bidx.boffs, b_lo, cum, ncap,
+                                        aidx.kmer, bidx.kmer))
     return SeedHits(packed[0, :total], packed[1, :total],
                     packed[2, :total], packed[3, :total])
 
@@ -539,7 +592,8 @@ def shard_index(idx: DeviceKmerIndex, mesh, axis: str) -> DeviceKmerIndex:
     return DeviceKmerIndex(
         _global_put(idx.hi, sh), _global_put(idx.lo, sh),
         _global_put(idx.pos, sh), idx.n,
-        _global_put(idx.boffs, rep), idx.kmer)
+        _global_put(idx.boffs, rep), idx.kmer,
+        None if idx.rlens is None else _global_put(idx.rlens, rep))
 
 
 _SHARDED_CACHE: dict = {}
@@ -619,9 +673,10 @@ def _sharded_fns(mesh):
     middle1 = jax.jit(middle1_fn, out_shardings=rep)
     middle2 = jax.jit(middle2_fn, out_shardings=(rep, rep, rep))
 
-    def emit_factory(ncap: int, akmer: int, bkmer: int):
-        def emit_local(sel, a_pos, aboffs, ahi, alo, bhi, blo, bn_l,
-                       b_pos, bboffs):
+    def emit_factory(ncap: int, akmer: int, bkmer: int,
+                     comp_frame: bool = False):
+        def emit_local(sel, a_pos, aboffs, a_rlens, ahi, alo, bhi, blo,
+                       bn_l, b_pos, bboffs, b_rlens):
             # recompute local ranges (cheaper than shipping (nref, n) maps)
             b_lo, cb_l = _local_ranges(ahi, alo, bhi, blo, bn_l)
             take = jnp.where(sel, cb_l, 0)
@@ -638,6 +693,20 @@ def _sharded_fns(mesh):
             ar, ap = _pos_to_read_rpos(a_pos[a_row], aboffs, akmer)
             bm = jnp.minimum(b_row, b_pos.shape[0] - 1)
             br, bp = _pos_to_read_rpos(b_pos[bm], bboffs, bkmer)
+            shard = lax.axis_index("ref").astype(jnp.int32)
+            if comp_frame:
+                # complement frame against the FORWARD b index: mirror the
+                # coordinates (see _match_emit_comp) and INVERT the tie
+                # keys — reference order is ascending comp bp, which the
+                # forward index enumerates in descending (shard, b_row)
+                ap = a_rlens[ar] + (akmer - 2) - ap
+                bp = b_rlens[br] + (bkmer - 2) - bp
+                nref_ = lax.axis_size("ref")
+                tie1 = nref_ - 1 - shard
+                tie2 = big - b_row
+            else:
+                tie1 = shard
+                tie2 = b_row
             dg = jnp.where(pad, 0, ap - bp)
             ar = jnp.where(pad, big, ar)
             ap = jnp.where(pad, 0, ap)
@@ -645,16 +714,17 @@ def _sharded_fns(mesh):
             # tie-break planes for the global sort: ties in (aread, bread,
             # apos) are same-a-row hits whose reference order is ascending
             # b_row = (ref shard, local b_row) in shard-major order
-            shard = lax.axis_index("ref").astype(jnp.int32)
-            t1 = jnp.where(pad, big, shard)
-            t2 = jnp.where(pad, big, b_row)
+            # (mirrored in the complement frame)
+            t1 = jnp.where(pad, big, tie1)
+            t2 = jnp.where(pad, big, tie2)
             return ar, br, ap, t1, t2, dg
 
         def emit_sorted(*args):
             ar, br, ap, t1, t2, dg = jax.shard_map(
                 emit_local, mesh=mesh,
-                in_specs=(P("dp"), P("dp"), P(), P("dp"), P("dp"),
-                          P("ref"), P("ref"), P("ref"), P("ref"), P()),
+                in_specs=(P("dp"), P("dp"), P(), P(), P("dp"), P("dp"),
+                          P("ref"), P("ref"), P("ref"), P("ref"), P(),
+                          P()),
                 out_specs=(P(("dp", "ref")),) * 6, check_vma=False)(*args)
             # global stable sort: orders hits AND compacts pads to the end
             ar, br, ap, t1, t2, dg = lax.sort((ar, br, ap, t1, t2, dg),
@@ -673,7 +743,8 @@ def _sharded_fns(mesh):
 
 def device_match_seeds_sharded(aidx: DeviceKmerIndex, bidx: DeviceKmerIndex,
                                mesh, mem_limit: int = 0,
-                               db_bytes: int = 0) -> SeedHits:
+                               db_bytes: int = 0,
+                               comp_frame: bool = False) -> SeedHits:
     """Sharded Match_Filter: aidx sharded over "dp", bidx over "ref".
 
     Bit-exact with device_match_seeds / the host path: the -M histogram and
@@ -724,9 +795,9 @@ def device_match_seeds_sharded(aidx: DeviceKmerIndex, bidx: DeviceKmerIndex,
             max_loc = max(max_loc, int(cbl[j, s][selv[s]].sum()))
     ncap = _bucket(max(1, max_loc))
 
-    emit = emit_factory(ncap, aidx.kmer, bidx.kmer)
-    ar, br, ap, dg = emit(sel, aidx.pos, aidx.boffs, aidx.hi, aidx.lo,
-                          bidx.hi, bidx.lo, bn_l,
-                          bidx.pos, bidx.boffs)
+    emit = emit_factory(ncap, aidx.kmer, bidx.kmer, comp_frame)
+    ar, br, ap, dg = emit(sel, aidx.pos, aidx.boffs, aidx.rlens,
+                          aidx.hi, aidx.lo, bidx.hi, bidx.lo, bn_l,
+                          bidx.pos, bidx.boffs, bidx.rlens)
     ar, br, ap, dg = (np.asarray(x) for x in (ar, br, ap, dg))
     return SeedHits(ar[:total], br[:total], ap[:total], dg[:total])

@@ -190,8 +190,15 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
                                         device_sort_kmers,
                                         device_upload_seq, shard_index)
         bindex = device_sort_kmers(reads_db, cfg.kmer, cfg.suppress)
+        # the reads' revcomp index (one-time) lets BOTH orientations match
+        # against a single forward reference index per block — the comp
+        # ref build (one full-block sort per block) disappears; hits stay
+        # bit-identical via emission-time frame mirroring
+        bindex_rc = device_sort_kmers(reads_db, cfg.kmer, cfg.suppress,
+                                      comp=True)
         if sharded_ix:
             bindex = shard_index(bindex, mesh, "dp")
+            bindex_rc = shard_index(bindex_rc, mesh, "dp")
     else:
         bindex = sort_kmers(reads_db, cfg.kmer, cfg.suppress)
     times["index"] += _time.time() - _t
@@ -231,19 +238,26 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
             db_bytes = reads_db.sizeof() + ref_blk.sizeof()
             _t = _time.time()
             if use_device_index:
-                aindex = device_sort_kmers(ref_blk, cfg.kmer, cfg.suppress,
-                                           comp=bool(comp),
-                                           seq_dev=ref_seq_dev)
-                if sharded_ix:
-                    aindex = shard_index(aindex, mesh, "ref")
+                if comp == 0:
+                    aindex = device_sort_kmers(
+                        ref_blk, cfg.kmer, cfg.suppress,
+                        seq_dev=ref_seq_dev)
+                    if sharded_ix:
+                        aindex = shard_index(aindex, mesh, "ref")
+                # comp == 1 reuses the forward aindex: the reads' revcomp
+                # index provides the orientation (damapper.c:851-861's
+                # complement pass without the second Sort_Kmers)
                 times["index"] += _time.time() - _t
                 _t = _time.time()
+                bq = bindex_rc if comp else bindex
                 if sharded_ix:
                     hits = device_match_seeds_sharded(
-                        bindex, aindex, mesh, cfg.mem_limit, db_bytes)
+                        bq, aindex, mesh, cfg.mem_limit, db_bytes,
+                        comp_frame=bool(comp))
                 else:
-                    hits = device_match_seeds(bindex, aindex, cfg.mem_limit,
-                                              db_bytes)
+                    hits = device_match_seeds(bq, aindex, cfg.mem_limit,
+                                              db_bytes,
+                                              comp_frame=bool(comp))
             elif use_sub:
                 subs = sort_kmers_partitioned(ref_blk, cfg.kmer, sub_bases,
                                               kscratch)

@@ -170,3 +170,62 @@ def test_device_match_sharded(tmp_path):
         np.testing.assert_array_equal(hd.bread, hh.bread)
         np.testing.assert_array_equal(hd.apos, hh.apos)
         np.testing.assert_array_equal(hd.diag, hh.diag)
+
+
+def test_device_match_comp_frame(tmp_path):
+    """comp_frame matching (reads-revcomp index x FORWARD ref index) must
+    be bit-identical with the classic complement pass (reads-fwd index x
+    complemented ref index) — the mapper builds ONE ref index per block
+    on this equivalence (damapper.c:851-861 without the second
+    Sort_Kmers)."""
+    ref, rd = make_dbs(tmp_path, seed=13, glen=40_000, nreads=10)
+    k = 16
+    b_fwd = dix.device_sort_kmers(rd, k)
+    b_rc = dix.device_sort_kmers(rd, k, comp=True)
+    a_fwd = dix.device_sort_kmers(ref, k)
+    # classic: complement the ref and match reads-fwd against it
+    refc = dbio.DazzDB.open(str(tmp_path / "ref.dam"))
+    refc.trim()
+    refc.load_bases()
+    refc.complement_inplace()
+    a_cmp = dix.device_sort_kmers(refc, k)
+    for mem in (0, 1 << 34):
+        hd = dix.device_match_seeds(b_rc, a_fwd, mem, 1000,
+                                    comp_frame=True)
+        hh = dix.device_match_seeds(b_fwd, a_cmp, mem, 1000)
+        assert len(hd) == len(hh)
+        np.testing.assert_array_equal(hd.aread, hh.aread)
+        np.testing.assert_array_equal(hd.bread, hh.bread)
+        np.testing.assert_array_equal(hd.apos, hh.apos)
+        np.testing.assert_array_equal(hd.diag, hh.diag)
+
+
+def test_device_match_comp_frame_sharded(tmp_path):
+    """Sharded comp_frame: inverted tie keys must reproduce the exact
+    reference hit order across ref shards."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a 4-device mesh (CPU conftest provides 8)")
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("dp", "ref"))
+    ref, rd = make_dbs(tmp_path, seed=17, glen=40_000, nreads=10)
+    k = 16
+    b_rc = dix.shard_index(dix.device_sort_kmers(rd, k, comp=True),
+                           mesh, "dp")
+    a_fwd = dix.shard_index(dix.device_sort_kmers(ref, k), mesh, "ref")
+    refc = dbio.DazzDB.open(str(tmp_path / "ref.dam"))
+    refc.trim()
+    refc.load_bases()
+    refc.complement_inplace()
+    hh = dix.device_match_seeds(
+        dix.device_sort_kmers(rd, k), dix.device_sort_kmers(refc, k),
+        0, 1000)
+    hd = dix.device_match_seeds_sharded(b_rc, a_fwd, mesh, 0, 1000,
+                                        comp_frame=True)
+    assert len(hd) == len(hh)
+    np.testing.assert_array_equal(hd.aread, hh.aread)
+    np.testing.assert_array_equal(hd.bread, hh.bread)
+    np.testing.assert_array_equal(hd.apos, hh.apos)
+    np.testing.assert_array_equal(hd.diag, hh.diag)
