@@ -370,6 +370,42 @@ def _pos_to_read_rpos(p, boffs, kmer: int):
 
 
 @functools.partial(jax.jit, static_argnames=("use_gram",))
+def _match_count_pair(fhi, flo, fan, chi, clo, can, bhi, blo, bn,
+                      use_gram: bool):
+    """_match_count for BOTH orientations against one b index: the join
+    (the expensive combined sort) runs ONCE over the concatenated
+    forward+revcomp query keys; group/histogram epilogues stay
+    per-orientation.  Saves one b-sized sort per reference block."""
+    nq = fhi.shape[0]
+    qhi = jnp.concatenate([fhi, chi])
+    qlo = jnp.concatenate([flo, clo])
+    b_lo2, b_hi2 = _join_ranges(bhi, blo, bn, qhi, qlo)
+
+    def _epi(hi, lo, an_, b_lo, b_hi):
+        idx = jnp.arange(nq, dtype=jnp.int32)
+        live = idx < an_
+        cb = jnp.where(live, b_hi - b_lo, 0).astype(jnp.int32)
+        gl, gr = _self_ranges(hi, lo)
+        first = gl == idx
+        ca = gr - gl
+        ctf = ca.astype(jnp.float32) * cb.astype(jnp.float32)
+        ct = jnp.minimum(ctf, jnp.float32(0x7FFFFF00)).astype(jnp.int32)
+        if use_gram:
+            selg = first & live & (cb > 0) & (ct < MAXGRAM) & (ct > 0)
+            sv = lax.sort(jnp.where(selg, ct, jnp.int32(0x7FFFFFFF)))
+            edges = jnp.arange(MAXGRAM + 1, dtype=jnp.int32)
+            pos = jnp.searchsorted(sv, edges, side="left").astype(jnp.int32)
+            gram = pos[1:] - pos[:-1]
+        else:
+            gram = jnp.zeros(MAXGRAM, jnp.int32)
+        return cb, ct, gram
+
+    fcb, fct, fgram = _epi(fhi, flo, fan, b_lo2[:nq], b_hi2[:nq])
+    ccb, cct, cgram = _epi(chi, clo, can, b_lo2[nq:], b_hi2[nq:])
+    return (b_lo2[:nq], fcb, fct, fgram), (b_lo2[nq:], ccb, cct, cgram)
+
+
+@functools.partial(jax.jit, static_argnames=("use_gram",))
 def _match_count(ahi, alo, bhi, blo, an, bn, use_gram: bool):
     """Pass 1: per-a-entry b-ranges, per-group totals, hit histogram and
     the total emitted-hit count (before the -M cap)."""
@@ -545,6 +581,60 @@ def device_match_seeds(aidx: DeviceKmerIndex, bidx: DeviceKmerIndex,
                                         aidx.kmer, bidx.kmer))
     return SeedHits(packed[0, :total], packed[1, :total],
                     packed[2, :total], packed[3, :total])
+
+
+def _finish_match(aidx, bidx, b_lo, cb, ct, gram, mem_limit, db_bytes,
+                  comp_frame):
+    """Shared tail of the matchers: -M limit, emission prep, emit+sort."""
+    empty = SeedHits(*(np.zeros(0, np.int32),) * 4)
+    if mem_limit > 0:
+        avail = _avail_budget(mem_limit, db_bytes, aidx.n, bidx.n)
+        limit = _device_limit(gram, jnp.int32(min(max(avail, 0),
+                                                  0x7FFFFFFF)))
+    else:
+        limit = jnp.int32(0x7FFFFFFF)
+    sel, cum, total = _match_emit_prep(cb, ct, limit)
+    tl = np.asarray(jnp.stack([total, limit]))
+    total, limit_v = int(tl[0]), int(tl[1])
+    if mem_limit > 0 and limit_v <= 1:
+        raise MemoryError("Insufficient memory for seed hits; reduce block "
+                          "size or raise -M")
+    if total == 0:
+        return empty
+    ncap = _bucket(total)
+    if comp_frame:
+        packed = np.asarray(_match_emit_comp(
+            aidx.pos, aidx.boffs, aidx.rlens, bidx.pos, bidx.boffs,
+            bidx.rlens, b_lo, cum, ncap, aidx.kmer, bidx.kmer))
+    else:
+        packed = np.asarray(_match_emit(aidx.pos, aidx.boffs, bidx.pos,
+                                        bidx.boffs, b_lo, cum, ncap,
+                                        aidx.kmer, bidx.kmer))
+    return SeedHits(packed[0, :total], packed[1, :total],
+                    packed[2, :total], packed[3, :total])
+
+
+def device_match_seeds_pair(reads_fwd: DeviceKmerIndex,
+                            reads_rc: DeviceKmerIndex,
+                            ref_idx: DeviceKmerIndex, mem_limit: int = 0,
+                            db_bytes: int = 0):
+    """Both orientations of Match_Filter against ONE forward reference
+    index with a single combined sort-merge join: the reads' forward and
+    revcomp query keys ride one _join_ranges pass over the (large)
+    reference index.  Returns (hits_fwd, hits_comp), each bit-exact with
+    the corresponding device_match_seeds call."""
+    empty = SeedHits(*(np.zeros(0, np.int32),) * 4)
+    if ref_idx.n == 0 or (reads_fwd.n == 0 and reads_rc.n == 0):
+        return empty, empty
+    (fb_lo, fcb, fct, fgram), (cb_lo, ccb, cct, cgram) = _match_count_pair(
+        reads_fwd.hi, reads_fwd.lo, jnp.int32(reads_fwd.n),
+        reads_rc.hi, reads_rc.lo, jnp.int32(reads_rc.n),
+        ref_idx.hi, ref_idx.lo, jnp.int32(ref_idx.n), mem_limit > 0)
+    hits_f = _finish_match(reads_fwd, ref_idx, fb_lo, fcb, fct, fgram,
+                           mem_limit, db_bytes, False)
+    hits_c = _finish_match(reads_rc, ref_idx, cb_lo, ccb, cct, cgram,
+                           mem_limit, db_bytes, True)
+    return hits_f, hits_c
 
 
 # ---------------------------------------------------------------------------

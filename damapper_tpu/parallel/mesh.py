@@ -101,11 +101,17 @@ def dryrun(n_devices: int) -> None:
     from ..pipeline.mapper import DamapperConfig, run_damapper
 
     rng = np.random.default_rng(12)
-    glen = 40_000
-    genome = _sim_genome(rng, glen)
+    # >=1 Mb genome with a skewed repeat family (a 500 bp unit tiled 60x):
+    # large enough to exercise the matcher's ncap bucketing and per-shard
+    # emission caps under non-uniform k-mer multiplicities, small enough
+    # to keep the 8-virtual-device CPU run bounded
+    glen = 1_000_000
+    unit = _sim_genome(rng, 500)
+    core = _sim_genome(rng, glen - 60 * 500)
+    genome = core[:glen // 3] + unit * 60 + core[glen // 3:]
     entries = [fasta.FastaEntry("ctg0", genome[:glen // 2]),
                fasta.FastaEntry("ctg1", genome[glen // 2:])]
-    reads = [_sim_read(rng, genome) for _ in range(10)]
+    reads = [_sim_read(rng, genome) for _ in range(100)]
 
     mesh = make_mesh(n_devices, ref_shards=2 if n_devices % 2 == 0 else 1)
 

@@ -185,7 +185,7 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
     times["load"] += _time.time() - _t
     _t = _time.time()
     if use_device_index:
-        from ..ops.device_index import (device_match_seeds,
+        from ..ops.device_index import (device_match_seeds_pair,
                                         device_match_seeds_sharded,
                                         device_sort_kmers,
                                         device_upload_seq, shard_index)
@@ -249,15 +249,18 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
                 # complement pass without the second Sort_Kmers)
                 times["index"] += _time.time() - _t
                 _t = _time.time()
-                bq = bindex_rc if comp else bindex
                 if sharded_ix:
                     hits = device_match_seeds_sharded(
-                        bq, aindex, mesh, cfg.mem_limit, db_bytes,
-                        comp_frame=bool(comp))
+                        bindex_rc if comp else bindex, aindex, mesh,
+                        cfg.mem_limit, db_bytes, comp_frame=bool(comp))
+                elif comp == 0:
+                    # one combined join serves both orientations; the comp
+                    # hits wait for the comp pass of the loop
+                    hits, pending_cmp = device_match_seeds_pair(
+                        bindex, bindex_rc, aindex, cfg.mem_limit,
+                        db_bytes)
                 else:
-                    hits = device_match_seeds(bq, aindex, cfg.mem_limit,
-                                              db_bytes,
-                                              comp_frame=bool(comp))
+                    hits = pending_cmp
             elif use_sub:
                 subs = sort_kmers_partitioned(ref_blk, cfg.kmer, sub_bases,
                                               kscratch)

@@ -229,3 +229,25 @@ def test_device_match_comp_frame_sharded(tmp_path):
     np.testing.assert_array_equal(hd.bread, hh.bread)
     np.testing.assert_array_equal(hd.apos, hh.apos)
     np.testing.assert_array_equal(hd.diag, hh.diag)
+
+
+def test_device_match_pair(tmp_path):
+    """device_match_seeds_pair (one combined join for both orientations)
+    must return hit lists bit-identical to the two separate calls."""
+    ref, rd = make_dbs(tmp_path, seed=21, glen=40_000, nreads=10)
+    k = 16
+    b_fwd = dix.device_sort_kmers(rd, k)
+    b_rc = dix.device_sort_kmers(rd, k, comp=True)
+    a_fwd = dix.device_sort_kmers(ref, k)
+    for mem in (0, 1 << 34):
+        hf1 = dix.device_match_seeds(b_fwd, a_fwd, mem, 1000)
+        hc1 = dix.device_match_seeds(b_rc, a_fwd, mem, 1000,
+                                     comp_frame=True)
+        hf2, hc2 = dix.device_match_seeds_pair(b_fwd, b_rc, a_fwd, mem,
+                                               1000)
+        for one, two in ((hf1, hf2), (hc1, hc2)):
+            assert len(one) == len(two)
+            np.testing.assert_array_equal(one.aread, two.aread)
+            np.testing.assert_array_equal(one.bread, two.bread)
+            np.testing.assert_array_equal(one.apos, two.apos)
+            np.testing.assert_array_equal(one.diag, two.diag)
