@@ -326,16 +326,34 @@ def _join_ranges(bhi, blo, bn, qhi, qlo):
 
     chi = jnp.concatenate([qhi, q1hi, bhi])
     clo = jnp.concatenate([qlo, q1lo, blo])
-    # queries sort BEFORE equal b entries so their slot counts b-keys < q
-    tag = jnp.concatenate([jnp.zeros(2 * nq, jnp.uint32),
-                           jnp.ones(m, jnp.uint32)])
-    qid = jnp.concatenate([jnp.arange(2 * nq, dtype=jnp.int32),
-                           jnp.full(m, 2 * nq, jnp.int32)])
-    chi, clo, tag, qid = lax.sort((chi, clo, tag, qid), num_keys=3)
-    nb_before = jnp.cumsum(tag.astype(jnp.int32)) - tag.astype(jnp.int32)
-    # bring query slots back into qid order (sort, not scatter)
-    isq = (qid < 2 * nq).astype(jnp.uint32)
-    _, _, res = lax.sort((one - isq, qid, nb_before), num_keys=2)
+    if 4 * nq + 1 <= 0x7FFFFFFF:
+        # the b/query tag rides the LOW BIT of the slot id so both sorts
+        # move one operand less (sort traffic is the whole cost here):
+        # queries get even ids in query order, b entries the constant odd
+        # maximum — so queries sort BEFORE equal b entries and their slot
+        # counts b < q
+        qidt = jnp.concatenate([
+            jnp.arange(2 * nq, dtype=jnp.int32) << 1,
+            jnp.full(m, (2 * nq) << 1 | 1, jnp.int32)])
+        chi, clo, qidt = lax.sort((chi, clo, qidt), num_keys=3)
+        tag = qidt & 1
+        nb_before = jnp.cumsum(tag) - tag
+        # bring query slots back into qid order (sort, not scatter):
+        # query ids are unique and smaller than every b id
+        _, res = lax.sort((qidt, nb_before), num_keys=1)
+    else:
+        # giant query sets (> ~536M slots): the packed id overflows
+        # int32, keep the two-plane tag scheme
+        one = jnp.uint32(1)
+        tag = jnp.concatenate([jnp.zeros(2 * nq, jnp.uint32),
+                               jnp.ones(m, jnp.uint32)])
+        qid = jnp.concatenate([jnp.arange(2 * nq, dtype=jnp.int32),
+                               jnp.full(m, 2 * nq, jnp.int32)])
+        chi, clo, tag, qid = lax.sort((chi, clo, tag, qid), num_keys=3)
+        nb_before = (jnp.cumsum(tag.astype(jnp.int32))
+                     - tag.astype(jnp.int32))
+        isq = (qid < 2 * nq).astype(jnp.uint32)
+        _, _, res = lax.sort((one - isq, qid, nb_before), num_keys=2)
     b_lo = jnp.minimum(res[:nq], bn)
     b_hi = jnp.minimum(jnp.where(wrapped, bn, res[nq:2 * nq]), bn)
     return b_lo, b_hi
