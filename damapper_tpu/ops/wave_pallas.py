@@ -2221,18 +2221,7 @@ class PallasWaveEngine:
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform != "cpu"
         defaulted_cap = band_cap is None
-        if defaulted_cap:
-            # measured (round 3, tools/wave_kit.py): W=128 rows fill the
-            # 128-lane vreg minor dim and halve reload stalls; the doubled
-            # band capacity also cuts band-overflow host fallbacks.  CPU
-            # (tests) keeps the smaller, faster-compiling shape.
-            band_cap = int(os.environ.get(
-                "DAMAPPER_WAVE_BANDCAP", 128 if use_pallas else 64))
-        if group is None:
-            # measured at W=128 on the chip: per-iteration cost is a fixed
-            # ~30us plus ~2.2us per lane, so G=32 amortizes the fixed part
-            # ~1.7x better than G=8; G=64 regresses (VMEM pressure)
-            group = int(os.environ.get("DAMAPPER_WAVE_GROUP", 32))
+        _env_group = os.environ.get("DAMAPPER_WAVE_GROUP")
         # measured default: tools/pick_wave_mode.py writes the fastest
         # hardware-measured (persistent, packops, lanepack) triple here.
         # Explicit constructor args and env vars both override it; CPU runs
@@ -2261,6 +2250,27 @@ class PallasWaveEngine:
                           "persistent")
         packops = _opt(None, "DAMAPPER_WAVE_PACKOPS", "packops")
         lanepack = _opt(lanepack, "DAMAPPER_WAVE_LANEPACK", "lanepack")
+        if defaulted_cap:
+            # measured (round 3, tools/wave_kit.py): W=128 rows fill the
+            # 128-lane vreg minor dim and halve reload stalls; the doubled
+            # band capacity also cuts band-overflow host fallbacks.  CPU
+            # (tests) keeps the smaller, faster-compiling shape; the
+            # persistent kernel's dense in-VMEM code planes scale with
+            # W*BW, so it stays at W=64 too.
+            band_cap = int(os.environ.get(
+                "DAMAPPER_WAVE_BANDCAP",
+                128 if (use_pallas and not persistent) else 64))
+        if group is None:
+            if _env_group is not None:
+                group = int(_env_group)
+            else:
+                # measured at W=128 (classic): per-iteration cost is a
+                # fixed ~30us plus ~2.2us/lane, so G=32 amortizes the
+                # fixed part ~1.7x over G=8; G=64 regresses (VMEM
+                # pressure).  The persistent kernel carries dense
+                # (G, W, BW) code planes in VMEM, bounding it to small
+                # groups.
+                group = 8 if persistent else 32
 
         class _Engine(wave_jax.WaveEngine):
             def _get_fns(self, P):
@@ -2354,7 +2364,7 @@ class PallasWaveEngine:
         # band_cap callers keep the historical +64 window
         eng._BW = int(os.environ.get(
             "DAMAPPER_WAVE_BW",
-            256 if (defaulted_cap and use_pallas)
+            256 if (defaulted_cap and use_pallas and not persistent)
             else max(128, band_cap + 64)))
         # persistent: a bigger drop buffer means the kernel usually runs a
         # whole lane to completion in ONE launch (drops per lane ~4*alen/TS)
