@@ -1646,9 +1646,12 @@ def _win_slice(seq3, off, nwords):
     for j in range(max(1, (R - 1).bit_length())):
         rows = jnp.where((c0 >> j) & 1 == 1,
                          jnp.roll(rows, -(1 << j), axis=0), rows)
-    coarse = rows[:nwords + 2]
-    row = jnp.concatenate([coarse[s:s + 1] for s in range(nwords + 2)],
-                          axis=1)            # (1, (nwords+2)*128)
+    # every concat operand must sit at the SAME sublane offset (Mosaic:
+    # "offset mismatch on non-concat dimension"), so roll row s to
+    # sublane 0 instead of slicing at offset s
+    row = jnp.concatenate(
+        [(rows if s == 0 else jnp.roll(rows, -s, axis=0))[:1]
+         for s in range(nwords + 2)], axis=1)   # (1, (nwords+2)*128)
     for j in range(9):                       # lane roll left by r (<= 256)
         row = jnp.where((r >> j) & 1 == 1,
                         jnp.roll(row, -(1 << j), axis=1), row)
@@ -2257,9 +2260,12 @@ class PallasWaveEngine:
             # (tests) keeps the smaller, faster-compiling shape; the
             # persistent kernel's dense in-VMEM code planes scale with
             # W*BW, so it stays at W=64 too.
+            # lanepack pairs two 64-slot lanes per row (128-lane minor
+            # fill), so it keeps W=64 — its measured win is at that shape
             band_cap = int(os.environ.get(
                 "DAMAPPER_WAVE_BANDCAP",
-                128 if (use_pallas and not persistent) else 64))
+                128 if (use_pallas and not persistent and not lanepack)
+                else 64))
         if group is None:
             if _env_group is not None:
                 group = int(_env_group)
@@ -2364,7 +2370,8 @@ class PallasWaveEngine:
         # band_cap callers keep the historical +64 window
         eng._BW = int(os.environ.get(
             "DAMAPPER_WAVE_BW",
-            256 if (defaulted_cap and use_pallas and not persistent)
+            256 if (defaulted_cap and use_pallas and not persistent
+                    and not lanepack)
             else max(128, band_cap + 64)))
         # persistent: a bigger drop buffer means the kernel usually runs a
         # whole lane to completion in ONE launch (drops per lane ~4*alen/TS)

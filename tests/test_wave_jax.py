@@ -12,9 +12,13 @@ from damapper_tpu.ops.wave_jax import WaveEngine
 from tests import helpers
 
 
-def make_cases(seed, ncases, glen=6000, rlen=2500, err=0.15):
+def make_cases(seed, ncases, glen=6000, rlen=2500, err=0.15,
+               mix=False):
     """Build a flat sentinel-separated sequence memory plus seed instances,
-    mimicking the loaded-DB layout."""
+    mimicking the loaded-DB layout.  mix=True draws each read's length
+    uniformly from [min(1500, rlen), rlen] — the bench-like length
+    heterogeneity that exposes band-overflow fallback costs a fixed-length
+    harness hides."""
     rng = np.random.default_rng(seed)
     genome = helpers.sim_genome(rng, glen)
     g = dbio.seq_to_numeric(genome)
@@ -23,8 +27,10 @@ def make_cases(seed, ncases, glen=6000, rlen=2500, err=0.15):
     off = 1
     entries = []
     for _ in range(ncases):
-        start = int(rng.integers(0, glen - rlen))
-        frag = genome[start:start + rlen]
+        rl = (int(rng.integers(min(1500, rlen), rlen + 1)) if mix
+              else rlen)
+        start = int(rng.integers(0, glen - rl))
+        frag = genome[start:start + rl]
         out = []
         truth = []
         bpos = 0

@@ -59,8 +59,10 @@ def main():
     ncases = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     rlen = int(sys.argv[2]) if len(sys.argv) > 2 else 6000
     mode = sys.argv[3] if len(sys.argv) > 3 else "ab"
+    # bench-like length mix: fixed-length harnesses hid lanepack's
+    # band-overflow fallback cost at real read-length spreads
     seqmem, insts = make_cases(777, ncases=ncases, glen=4 * rlen,
-                               rlen=rlen, err=0.15)
+                               rlen=rlen, err=0.15, mix=True)
     spec = new_align_spec(0.85, 100, [.25, .25, .25, .25], True)
     dev = jnp.asarray(seqmem)
     print(f"{ncases} lanes, reads ~{rlen}bp", flush=True)
@@ -74,7 +76,9 @@ def main():
             continue
         if mode != "ab" and mode != label:
             continue
-        eng = PallasWaveEngine(spec, band_cap=64, pool_cap=2048,
+        # band_cap stays at the engine's per-mode default so the record
+        # reflects the exact production shape of that mode
+        eng = PallasWaveEngine(spec, pool_cap=2048,
                                persistent=persistent, lanepack=lanepack)
         eng.host_min = 0
         run(eng, dev, seqmem, insts, label + " (compile)")
@@ -86,7 +90,9 @@ def main():
         import jax
         rec = {"mode": label, "persistent": persistent, "lanepack": lanepack,
                "packops": os.environ.get("DAMAPPER_WAVE_PACKOPS", "0") == "1",
-               "ncases": ncases, "rlen": rlen,
+               "group": eng.G if hasattr(eng, "G") else
+               os.environ.get("DAMAPPER_WAVE_GROUP"),
+               "ncases": ncases, "rlen": rlen, "mix": True,
                "platform": jax.devices()[0].platform,
                "total_s": round(dt, 3),
                "ms_per_lane": round(1e3 * dt / len(insts), 3),
