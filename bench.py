@@ -102,15 +102,15 @@ def time_reference(work: pathlib.Path, opts, repeats=None):
         helpers.build_reference()
     except Exception:
         return None, None
-    best = None
+    samples = []
     las = None
     for _ in range(max(1, repeats if repeats is not None else REPEATS)):
         t0 = time.time()
         las = helpers.run_reference_damapper(work, "ref.dam", "reads.db",
                                              opts)
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    return best, las
+        samples.append(round(time.time() - t0, 2))
+    time_reference.samples = samples    # dispersion for the bench record
+    return min(samples), las
 
 
 def time_ours(work: pathlib.Path, cfg_kw=None, repeats=None, subdir="ours"):
@@ -121,15 +121,18 @@ def time_ours(work: pathlib.Path, cfg_kw=None, repeats=None, subdir="ours"):
     best = None
     stats = {}
     a_path = None
+    samples = []
     for _ in range(max(1, repeats if repeats is not None else REPEATS)):
         t0 = time.time()
         a_path, _ = mp.run_damapper(str(work / "ref.dam"),
                                     str(work / "reads.db"), cfg,
                                     out_dir=str(out))
         dt = time.time() - t0
+        samples.append(round(dt, 2))
         if best is None or dt < best:
             best = dt
             stats = dict(mp.LAST_STATS)
+    stats["samples"] = samples
     return best, pathlib.Path(a_path), stats
 
 
@@ -184,6 +187,11 @@ def main():
         ref_dt, ref_las = time_reference(work, ["-k20", "-T4"])
         our_dt, our_las, stats = time_ours(work)
         result["value"] = round(NREADS / our_dt, 3)
+        # dispersion: tunnel/host contention swings single runs ~30%, so
+        # the record carries every repeat, not just the best
+        result["seconds_samples"] = stats.pop("samples", [])
+        result["reference_seconds_samples"] = getattr(
+            time_reference, "samples", [])
         if stats.get("times"):
             result["stage_seconds"] = {
                 k: round(v, 2) for k, v in stats["times"].items()}
