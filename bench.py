@@ -62,6 +62,12 @@ GLEN = int(os.environ.get("BENCH_GLEN",
 NREADS = int(os.environ.get("BENCH_NREADS", 200 if _CPU_FB else 1000))
 SEED = int(os.environ.get("BENCH_SEED", 42))
 BSIZE = int(os.environ.get("BENCH_BSIZE", 260_000_000))
+# reads-side block size: >0 splits the reads DB into blocks and maps
+# block-by-block (both ours and the reference), the reference's own
+# memory-bounding recipe for large read sets (map.c:807-814,
+# HPC.damapper jobs) — required above ~20k reads where a single-block
+# device join exceeds HBM
+RBSIZE = int(os.environ.get("BENCH_RBSIZE", 0))
 # the axon TPU tunnel's execution time is jittery (3x swings between
 # identical runs); report the best of BENCH_REPEATS attempts.  The CPU
 # fallback is slow and not jittery — one attempt
@@ -75,7 +81,7 @@ def build_dataset(work: pathlib.Path):
     from tests import helpers
 
     work.mkdir(parents=True, exist_ok=True)
-    marker = work / f"ds_{SEED}_{GLEN}_{NREADS}_{BSIZE}.ok"
+    marker = work / f"ds_{SEED}_{GLEN}_{NREADS}_{BSIZE}_{RBSIZE}.ok"
     if marker.exists():
         return
     rng = np.random.default_rng(SEED)
@@ -92,8 +98,19 @@ def build_dataset(work: pathlib.Path):
         reads.append(r)
     dbio.create_dam(str(work / "ref.dam"), entries, bsize=BSIZE)
     dbio.create_db(str(work / "reads.db"),
-                   [fasta.FastaEntry(f"r{i}", r) for i, r in enumerate(reads)])
+                   [fasta.FastaEntry(f"r{i}", r)
+                    for i, r in enumerate(reads)],
+                   **({"bsize": RBSIZE} if RBSIZE else {}))
     marker.write_text("ok")
+
+
+def _reads_blocks(work):
+    """Reads-DB block names: ["reads"] single-block, else reads.1..N."""
+    from damapper_tpu.io import db as dbio
+    stub = dbio.read_stub(str(work / "reads.db"))
+    if not RBSIZE or stub.nblocks <= 1:
+        return ["reads"]
+    return [f"reads.{k}" for k in range(1, stub.nblocks + 1)]
 
 
 def time_reference(work: pathlib.Path, opts, repeats=None):
@@ -102,15 +119,18 @@ def time_reference(work: pathlib.Path, opts, repeats=None):
         helpers.build_reference()
     except Exception:
         return None, None
+    blocks = _reads_blocks(work)
     samples = []
     las = None
     for _ in range(max(1, repeats if repeats is not None else REPEATS)):
         t0 = time.time()
-        las = helpers.run_reference_damapper(work, "ref.dam", "reads.db",
-                                             opts)
+        las = [helpers.run_reference_damapper(
+                   work, "ref.dam", b if b != "reads" else "reads.db",
+                   opts)
+               for b in blocks]
         samples.append(round(time.time() - t0, 2))
     time_reference.samples = samples    # dispersion for the bench record
-    return min(samples), las
+    return min(samples), (las[0] if len(las) == 1 else las)
 
 
 def time_ours(work: pathlib.Path, cfg_kw=None, repeats=None, subdir="ours"):
@@ -118,26 +138,48 @@ def time_ours(work: pathlib.Path, cfg_kw=None, repeats=None, subdir="ours"):
     cfg = mp.DamapperConfig(**(cfg_kw or {}))   # auto backends on TPU
     out = work / subdir
     out.mkdir(exist_ok=True)
+    blocks = _reads_blocks(work)
     best = None
     stats = {}
     a_path = None
     samples = []
     for _ in range(max(1, repeats if repeats is not None else REPEATS)):
         t0 = time.time()
-        a_path, _ = mp.run_damapper(str(work / "ref.dam"),
-                                    str(work / "reads.db"), cfg,
+        outs = []
+        rstats = None
+        for b in blocks:
+            ap, _ = mp.run_damapper(str(work / "ref.dam"),
+                                    str(work / b), cfg,
                                     out_dir=str(out))
+            outs.append(ap)
+            st = dict(mp.LAST_STATS)
+            if rstats is None:
+                rstats = st
+            else:
+                for k, v in st.get("times", {}).items():
+                    rstats["times"][k] = rstats["times"].get(k, 0) + v
+                for k in ("cell_updates", "n_lanes"):
+                    if st.get(k):
+                        rstats[k] = rstats.get(k, 0) + st[k]
         dt = time.time() - t0
         samples.append(round(dt, 2))
         if best is None or dt < best:
             best = dt
-            stats = dict(mp.LAST_STATS)
+            stats = rstats
+            a_path = outs[0] if len(outs) == 1 else outs
     stats["samples"] = samples
-    return best, pathlib.Path(a_path), stats
+    return best, (pathlib.Path(a_path) if isinstance(a_path, str)
+                  else a_path), stats
 
 
 def las_identical(ref_las, our_las) -> bool:
     from damapper_tpu.io import las as lasio
+    if isinstance(ref_las, list) or isinstance(our_las, list):
+        ref_las = ref_las if isinstance(ref_las, list) else [ref_las]
+        our_las = our_las if isinstance(our_las, list) else [our_las]
+        return (len(ref_las) == len(our_las)
+                and all(las_identical(r, o)
+                        for r, o in zip(ref_las, our_las)))
     g, _ = lasio.read_las(str(ref_las))
     o, _ = lasio.read_las(str(our_las))
     return lasio.las_equal(g, o)
