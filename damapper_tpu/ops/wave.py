@@ -530,7 +530,18 @@ def reverse_wave(A, B, spec: AlignSpec, mind, maxd, mida, minp, maxp,
                     low += 1
                 break
 
+        if os.environ.get("DAMAPPER_WAVE_DEBUG") == "2" and \
+                dif >= int(os.environ.get("DAMAPPER_WAVE_DEBUG_FROM", 0)):
+            print(f"[orc w] dif={dif} low={low} hgh={hgh} besta={besta} "
+                  f"besty={besty} lasta={lasta} more={more} morem={morem} "
+                  f"morea={morea} mored={mored}")
+
     # trace extraction (align.c:1554-1717)
+    if os.environ.get("DAMAPPER_WAVE_DEBUG"):
+        print(f"[oracle rev] trima={trima} trimy={trimy} trimd={trimd} "
+              f"trimha={trimha} trimhb={trimhb} morem={morem} "
+              f"morea={morea} morey={morey} mored={mored} "
+              f"besta={besta} lasta={lasta} dif={dif}")
     if morem >= 0 and REACH:
         trimx = morea - morey
         trimy = morey

@@ -745,7 +745,7 @@ def _mk_kernel(W: int, P: int, reverse: bool):
                    avail=avail, overflow=overflow, waves=dif)
         if _DEBUG_STOP is not None:
             out.update(V=V, M=M, Thi=Thi, Tlo=Tlo, low=low, hgh=hgh,
-                       besta=besta, lasta=lasta)
+                       besta=besta, lasta=lasta, more=more, besty=besty)
         return out
 
     return kernel
@@ -932,6 +932,12 @@ class WaveEngine:
         self.n_total += n
         TS = self.spec.trace_space
         out = [None] * n
+        if os.environ.get("DAMAPPER_WAVE_DUMP"):
+            # debug: append every batch's seed list for offline
+            # engine-vs-oracle parity replay (tools/wave_replay.py)
+            import pickle
+            with open(os.environ["DAMAPPER_WAVE_DUMP"], "ab") as fh:
+                pickle.dump(seeds, fh)
 
         if n < self.host_min:
             self.n_hostmin += n
