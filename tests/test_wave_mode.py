@@ -55,9 +55,35 @@ def test_main_writes_mode_file(tmp_path, monkeypatch):
              "ts": 1.0}]
     src.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
     monkeypatch.setattr(mod, "MODE_FILE", tmp_path / "wave_mode.json")
+    # point the coverage guard at an absent gate file: this test checks
+    # the write path, not gate coverage
+    monkeypatch.setattr(mod, "STATUS_FILE", tmp_path / "absent.json")
     monkeypatch.setattr(sys, "argv", ["pick_wave_mode.py", str(src)])
     assert mod.main() == 0
     out = json.loads((tmp_path / "wave_mode.json").read_text())
     assert out == {"persistent": True, "packops": False, "lanepack": True,
                    "ms_per_lane": 1.5, "platform": "tpu",
                    "source": str(src), "ts": 1.0}
+
+
+def test_main_refuses_unmeasured_compiling_mode(tmp_path, monkeypatch):
+    """Coverage guard: a mode the compile gate marks ok but that has no
+    warm measurement blocks the pick (round-2 lesson: a winner may not
+    be declared against dark competitors)."""
+    mod = _load()
+    src = tmp_path / "r.jsonl"
+    rows = [{"platform": "tpu", "ncases": 64, "ms_per_lane": 1.5,
+             "persistent": False, "packops": False, "lanepack": False,
+             "ts": 1.0}]
+    src.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    gate = tmp_path / "gate.json"
+    gate.write_text(json.dumps({
+        "classic": {"status": "ok"},
+        "lanepack": {"status": "ok"},       # compiles, never measured
+        "persistent": {"status": "fail"},
+    }))
+    monkeypatch.setattr(mod, "MODE_FILE", tmp_path / "wave_mode.json")
+    monkeypatch.setattr(mod, "STATUS_FILE", gate)
+    monkeypatch.setattr(sys, "argv", ["pick_wave_mode.py", str(src)])
+    assert mod.main() == 1
+    assert not (tmp_path / "wave_mode.json").exists()
