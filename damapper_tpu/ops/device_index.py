@@ -393,7 +393,14 @@ def _match_count_pair(fhi, flo, fan, chi, clo, can, bhi, blo, bn,
     """_match_count for BOTH orientations against one b index: the join
     (the expensive combined sort) runs ONCE over the concatenated
     forward+revcomp query keys; group/histogram epilogues stay
-    per-orientation.  Saves one b-sized sort per reference block."""
+    per-orientation.  Saves one b-sized sort per reference block.
+
+    The forward and revcomp query indexes MUST share padded capacity:
+    the combined join result is split at nq = fhi.shape[0], so
+    differently-bucketed indexes would silently misalign the comp side's
+    b-ranges."""
+    assert fhi.shape == chi.shape and flo.shape == clo.shape, \
+        "fwd/revcomp query indexes must share padded capacity"
     nq = fhi.shape[0]
     qhi = jnp.concatenate([fhi, chi])
     qlo = jnp.concatenate([flo, clo])

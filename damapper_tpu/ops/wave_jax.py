@@ -712,15 +712,20 @@ def _mk_kernel(W: int, P: int, reverse: bool):
                            HA, HB, k, morem, morea, morey, mored, moreha,
                            morehb, dif, set_mored=True)
 
-            # band prune (align.c:877-885); `rel` (position of each slot
-            # relative to the pre-clip low) replaces the rotated-okpos scan
-            k2 = low + jnp.remainder(slots - low, W)
+            # band prune (align.c:877-885).  Positions MUST be relative to
+            # the POST-clip low: clip_block may have just raised low (rev
+            # aclip / fwd bclip), and re-using the pre-clip `rel` here
+            # re-based the band `delta` diagonals too high — losing the
+            # slots just above aclip, whose later boundary re-clips carry
+            # better REACH grabs (the 50k-read parity edge; tools/clip_fuzz).
+            rel2 = jnp.remainder(slots - low, W)
+            k2 = low + rel2
             inb2 = k2 <= hgh
             if not reverse:
                 ok = inb2 & (V >= besta - WAVE_LAG)
             else:
                 ok = inb2 & (V <= besta + WAVE_LAG)
-            okpos = jnp.where(ok & (rel <= hgh - low), rel, -1)
+            okpos = jnp.where(ok, rel2, -1)
             hi_rel = jnp.max(okpos)
             lo_rel = jnp.min(jnp.where(okpos >= 0, okpos, W))
             have = hi_rel >= 0
@@ -778,6 +783,8 @@ class WaveEngine:
         self.n_winmiss = 0      # persistent-mode lanes retried on classic
         self.total_waves = 0    # summed per-lane wave counts (telemetry)
         self.kit_log = []       # per-chunk kit arrays (DAMAPPER_WAVE_KIT)
+        self.KIT_LOG_CAP = int(os.environ.get("DAMAPPER_WAVE_KIT_CAP",
+                                              "4096"))
         # rounds smaller than this run on the host oracle: a padded device
         # bucket costs ~1s of fixed overhead, the oracle is bit-identical
         self.host_min = int(os.environ.get("DAMAPPER_WAVE_HOSTMIN", "16"))
@@ -901,8 +908,12 @@ class WaveEngine:
             if kit is not None and os.environ.get("DAMAPPER_WAVE_KIT"):
                 # telemetry-only extra pull: per-lane in-kernel iteration
                 # counts (every lane of a lockstep group carries its
-                # group's count), for diagnosing idle-iteration waste
+                # group's count), for diagnosing idle-iteration waste.
+                # Ring-capped so a long mapping run with the env var left
+                # on cannot grow host memory without bound.
                 self.kit_log.append(np.asarray(kit))
+                if len(self.kit_log) > self.KIT_LOG_CAP:
+                    del self.kit_log[0]
             # ONE device->host round trip for the whole result set: the
             # axon tunnel costs ~26ms latency PER transfer, so pulling a
             # dozen arrays separately dominates the batch wall-clock

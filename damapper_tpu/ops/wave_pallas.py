@@ -980,15 +980,20 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False, lanepack=False):
             (morem, morea, morey, mored, moreha, morehb, low, hgh,
              stall_rest) = _maybe_cond(_cA, _clip_block, _clip_skip)
 
-            # band prune
-            k2 = b2(low) + jnp.remainder(slots1 - b2(low), W)
+            # band prune — positions relative to the POST-clip low (the
+            # clip block may have just raised it; the pre-clip `rel` is
+            # only valid for the trim keys above).  See wave_jax.py and
+            # tools/clip_fuzz.py: re-using `rel` here lost the diagonals
+            # just above aclip after a boundary clip.
+            rel2 = jnp.remainder(slots1 - b2(low), W)
+            k2 = b2(low) + rel2
             inb2 = k2 <= b2(hgh)
             if not reverse:
                 ok = inb2 & (V >= b2(besta) - WAVE_LAG)
             else:
                 ok = inb2 & (V <= b2(besta) + WAVE_LAG)
             if "prune" not in _ablate:
-                okpos = jnp.where(ok & (rel <= b2(hgh - low)), rel, -1)
+                okpos = jnp.where(ok, rel2, -1)
                 hi_rel = rmax(okpos)
                 lo_rel = rmin(jnp.where(okpos >= 0, okpos, W))
                 have = hi_rel >= 0
@@ -1007,6 +1012,7 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False, lanepack=False):
                              st["live"])
             phase = jnp.where(snake_done, 0, phase)
 
+
             st.update(V=V, M=M, NA=NA, NB=NB, HA=HA, HB=HB, MA=MA, MB=MB,
                       Thi=Thi, Tlo=Tlo, sy=sy, sm=sm, sthi=sthi, stlo=stlo,
                       wha=wha, whb=whb, wma=wma, wmb=wmb, sact=sact,
@@ -1020,7 +1026,18 @@ def make_segment(W, BW, P, DBUF, reverse, planes3d=False, lanepack=False):
                       stall_rest=stall_rest, stall_dbuf=stall_dbuf)
             return st
 
-        out = jax.lax.while_loop(seg_cond, seg_body, st)
+        if os.environ.get("DAMAPPER_PALLAS_STEP"):
+            # eager CPU debugging: python loop so state is inspectable
+            # between segment iterations (jax.debug.print is unavailable
+            # under the axon plugin, even on the CPU backend)
+            hook = globals().get("_SEG_HOOK")
+            while bool(seg_cond(st)):
+                st = seg_body(st)
+                if hook is not None:
+                    hook(st)
+            out = st
+        else:
+            out = jax.lax.while_loop(seg_cond, seg_body, st)
         return dict(out, **_planes)
 
     return seg
@@ -1540,7 +1557,11 @@ def make_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
 
         def cond(c):
             st, pool = c
-            go = (st["live"] == 1).any()
+            # a lane stalled on the deferred REACH rest test has live == 0
+            # until the next body resolves it: the loop must keep going for
+            # stall_rest lanes or the LAST live lane of a batch loses its
+            # post-clip waves when it clips (tools/clip_fuzz.py)
+            go = ((st["live"] == 1) | (st["stall_rest"] == 1)).any()
             if _maxit:
                 go = go & (st["_it"] < _maxit)
             return go
@@ -1592,7 +1613,13 @@ def make_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
             st = dict(st, dcnt=jnp.zeros_like(st["dcnt"]))
             return (st, pool)
 
-        st, pool = jax.lax.while_loop(cond, body, (st1, pool))
+        if os.environ.get("DAMAPPER_PALLAS_STEP"):
+            c = (st1, pool)
+            while bool(cond(c)):
+                c = body(c)
+            st, pool = c
+        else:
+            st, pool = jax.lax.while_loop(cond, body, (st1, pool))
         pool = pool[:, :P]
         return dict(_trim_extract(st, reverse),
                     morem=st["morem"], morea=st["morea"],
@@ -1711,7 +1738,10 @@ def make_persistent_kernel(W, P, BW, DBUF, G, reverse, maxit=0,
 
         def ocond(c):
             st = c
-            runnable = (st["live"] == 1) & (st["stall_dbuf"] == 0)
+            # stall_rest lanes have live == 0 until obody resolves the rest
+            # bytes — keep iterating for them (see the XLA driver cond)
+            runnable = ((st["live"] == 1) | (st["stall_rest"] == 1)) \
+                & (st["stall_dbuf"] == 0)
             go = runnable.any()
             # per-launch safety bound: the state is consistent at every
             # obody boundary, so capping the in-kernel loop just costs an
@@ -2128,7 +2158,11 @@ def make_persistent_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
 
             def cond(c):
                 st, pool, lcnt = c
-                return (st["live"] == 1).any() & (lcnt < MAX_LAUNCH)
+                # stall_rest lanes carry live == 0 until the next launch
+                # resolves the REACH rest bytes (see the XLA driver cond)
+                return (((st["live"] == 1) |
+                         (st["stall_rest"] == 1)).any()
+                        & (lcnt < MAX_LAUNCH))
 
             def body(c):
                 st, pool, lcnt = c
@@ -2205,6 +2239,13 @@ _DRIVER_CACHE = {}
 
 
 def _cached_driver(key, builder):
+    if os.environ.get("DAMAPPER_PALLAS_STEP"):
+        return builder()    # eager step-debug mode: no jit, no cache
+    # the ablation knobs are read at build time (make_segment), so they
+    # must key the cache: an in-process A/B loop flipping them would
+    # otherwise silently reuse the previous setting's compiled kernel
+    key = key + (os.environ.get("DAMAPPER_WAVE_ABLATE", ""),
+                 os.environ.get("DAMAPPER_WAVE_NOCOND", "0"))
     if key not in _DRIVER_CACHE:
         _DRIVER_CACHE[key] = jax.jit(builder())
     return _DRIVER_CACHE[key]

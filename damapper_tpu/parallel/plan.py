@@ -42,8 +42,14 @@ def _submit_prefix(submit: str | None, jobid: int, nthreads: int,
     if submit == "lsf":
         return HPC_ALIGN_LSF % jobid + ' "'
     if submit == "slurm":
+        # the reference rounds NTHREADS down to a power of two before it
+        # reaches the -c / --mem_per_cpu fields (HPC.damapper.c:210-212)
+        j = 1
+        while 2 * j <= max(nthreads, 1):
+            j *= 2
+        nthreads = j
         mem = (mem_gb * 1024 if mem_gb is not None and mem_gb >= 0
-               else 16 * 1024) // max(nthreads, 1)
+               else 16 * 1024) // nthreads
         return HPC_ALIGN_SLURM % (nthreads, mem, jobid) + ' "'
     return ""
 

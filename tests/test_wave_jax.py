@@ -296,3 +296,50 @@ def test_persistent_winmiss_retries_on_classic_driver(monkeypatch):
             assert (e.abpos, e.bbpos, e.aepos, e.bepos, e.diffs) == \
                    (g.abpos, g.bbpos, g.aepos, g.bepos, g.diffs)
             assert list(e.trace) == list(g.trace)
+
+
+def _clip_cases(seed, ncases):
+    import pathlib
+    import sys
+    sys.path.insert(0, str(helpers.REPO / "tools"))
+    import clip_fuzz
+    return clip_fuzz.make_clip_cases(seed, ncases)
+
+
+@pytest.mark.parametrize("engine", ["jax", "pallas_xla"])
+def test_wave_boundary_clip_coast(engine):
+    """Reverse waves that dive off the START of A and coast: a junk read
+    head makes A-gap paths touch x == 0 (clip + REACH grab) while better
+    off-boundary frontiers keep the wave alive, so the band re-clips over
+    many waves.  Regression for two round-4 parity bugs (the 50k-read
+    edge): (a) the post-clip band prune re-based pre-clip slot positions
+    onto the post-clip low, losing the diagonals just above aclip; (b) the
+    pallas drivers' loop conds skipped the deferred REACH rest resolution
+    when the last live lane stalled on a clip, ending its wave early."""
+    seqmem, all_insts = _clip_cases(7000, 117)
+    # cases known to trip the two old bugs (band_cap=128) + controls
+    insts = [all_insts[i] for i in (0, 14, 46, 50, 55, 67, 116)]
+    spec = new_align_spec(0.85, 100, [.25, .25, .25, .25], True)
+    if engine == "jax":
+        eng = WaveEngine(spec, band_cap=128, pool_cap=2048)
+    else:
+        from damapper_tpu.ops.wave_pallas import PallasWaveEngine
+        eng = PallasWaveEngine(spec, band_cap=128, pool_cap=2048,
+                               use_pallas=False)
+    eng.host_min = 0
+    dev = jnp.asarray(seqmem)
+    got = eng.local_alignment_batch(dev, dev, seqmem, seqmem, insts)
+    nbad = 0
+    for i, s in enumerate(insts):
+        a_np = seqmem[s["abase"]:s["abase"] + s["alen"]]
+        b_np = seqmem[s["bbase"]:s["bbase"] + s["blen"]]
+        ea, eb = wave.local_alignment(a_np, b_np, spec, s["diag"],
+                                      s["diag"], s["anti"], -1, -1,
+                                      s["flags"])
+        ga, gb = got[i]
+        same = ((ea.abpos, ea.bbpos, ea.aepos, ea.bepos, ea.diffs)
+                == (ga.abpos, ga.bbpos, ga.aepos, ga.bepos, ga.diffs)
+                and list(ea.trace) == list(ga.trace)
+                and list(eb.trace) == list(gb.trace))
+        nbad += not same
+    assert nbad == 0, f"{nbad}/{len(insts)} clip-coast lanes diverge"

@@ -34,10 +34,12 @@ def test_pick_prefers_fastest_tpu_row():
         {"platform": "tpu", "ncases": 256, "ms_per_lane": 1.4,
          "persistent": True, "packops": False, "lanepack": True},
     ]
-    win = mod.pick(rows)
+    win, group = mod.pick(rows)
     assert (win["persistent"], win["packops"], win["lanepack"]) == (
         True, True, False)
     assert win["ms_per_lane"] == 1.1
+    # the chosen group is the (ncases=64, rlen) one (most distinct configs)
+    assert all(r["ncases"] == 64 for r in group)
 
 
 def test_pick_empty_and_cpu_only():
@@ -81,6 +83,35 @@ def test_main_refuses_unmeasured_compiling_mode(tmp_path, monkeypatch):
         "classic": {"status": "ok"},
         "lanepack": {"status": "ok"},       # compiles, never measured
         "persistent": {"status": "fail"},
+    }))
+    monkeypatch.setattr(mod, "MODE_FILE", tmp_path / "wave_mode.json")
+    monkeypatch.setattr(mod, "STATUS_FILE", gate)
+    monkeypatch.setattr(sys, "argv", ["pick_wave_mode.py", str(src)])
+    assert mod.main() == 1
+    assert not (tmp_path / "wave_mode.json").exists()
+
+def test_main_refuses_mode_measured_only_in_other_group(tmp_path,
+                                                        monkeypatch):
+    """The coverage guard is scoped to the group the winner was picked
+    from: a compiling mode measured solely at a different (ncases, rlen)
+    never competed against the winner and must still block the pick."""
+    mod = _load()
+    src = tmp_path / "r.jsonl"
+    rows = [
+        # winning group (ncases=64): classic only
+        {"platform": "tpu", "ncases": 64, "rlen": 3000, "ms_per_lane": 1.5,
+         "persistent": False, "packops": False, "lanepack": False,
+         "ts": 1.0},
+        # lanepack measured, but in a different group
+        {"platform": "tpu", "ncases": 32, "rlen": 1000, "ms_per_lane": 9.0,
+         "persistent": False, "packops": False, "lanepack": True,
+         "ts": 1.0},
+    ]
+    src.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    gate = tmp_path / "gate.json"
+    gate.write_text(json.dumps({
+        "classic": {"status": "ok"},
+        "lanepack": {"status": "ok"},
     }))
     monkeypatch.setattr(mod, "MODE_FILE", tmp_path / "wave_mode.json")
     monkeypatch.setattr(mod, "STATUS_FILE", gate)

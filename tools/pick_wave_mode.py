@@ -58,7 +58,7 @@ def pick(rows):
         key = cfg(r)
         if key not in best or r["ms_per_lane"] < best[key]["ms_per_lane"]:
             best[key] = r
-    return min(best.values(), key=lambda r: r["ms_per_lane"])
+    return min(best.values(), key=lambda r: r["ms_per_lane"]), chosen
 
 
 def main():
@@ -75,12 +75,15 @@ def main():
                 rows.append(json.loads(line))
             except json.JSONDecodeError:
                 pass
-    win = pick(rows)
-    if win is None:
+    picked = pick(rows)
+    if picked is None:
         print("no TPU-scale rows; keeping current defaults")
         return 0
+    win, chosen_group = picked
     # minimum-coverage guard: every mode the compile gate says lowers
-    # must have a measured row, else the "winner" had no competition
+    # must have a measured row IN THE GROUP THE WINNER WAS PICKED FROM
+    # (a warm row in some other (ncases, rlen) group never actually
+    # competed against the winner)
     if STATUS_FILE.exists():
         try:
             gate = json.loads(STATUS_FILE.read_text())
@@ -89,8 +92,7 @@ def main():
         sys.path.insert(0, str(REPO / "tools"))
         from wave_compile_gate import triple
         measured = {(bool(r.get("persistent")), bool(r.get("packops")),
-                     bool(r.get("lanepack"))) for r in rows
-                    if r.get("platform") not in (None, "cpu")}
+                     bool(r.get("lanepack"))) for r in chosen_group}
         missing = []
         for name, rec in gate.items():
             if rec.get("status") != "ok":
