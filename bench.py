@@ -72,7 +72,13 @@ RBSIZE = int(os.environ.get("BENCH_RBSIZE", 0))
 # identical runs); report the best of BENCH_REPEATS attempts.  The CPU
 # fallback is slow and not jittery — one attempt
 REPEATS = int(os.environ.get("BENCH_REPEATS", 1 if _CPU_FB else 2))
-VARIANTS = os.environ.get("BENCH_VARIANTS", "1") != "0"
+# BENCH_VARIANTS: "1" (all), "0" (none), or a comma list from
+# {"n95_C", "profile"} — large-read-count configs can't afford every
+# variant but BASELINE config 3 still needs the -p profile gate
+_V = os.environ.get("BENCH_VARIANTS", "1")
+VARIANTS = _V != "0"
+VARIANT_SET = (None if _V in ("0", "1")
+               else {v.strip() for v in _V.split(",")})
 
 
 def build_dataset(work: pathlib.Path):
@@ -250,26 +256,31 @@ def main():
 
         if VARIANTS and ref_dt is not None:
             variants = {}
-            # near-optimal chains + dual output (BASELINE config 2 options)
-            rd, rl = time_reference(work, ["-k20", "-T4", "-n.95", "-C"],
-                                    repeats=1)
-            od, ol, _ = time_ours(work, dict(best_tie=.95, do_b=True),
-                                  repeats=1, subdir="ours_nC")
-            variants["n95_C"] = {
-                "vs_baseline": round(rd / od, 4),
-                "las_identical": las_identical(rl, ol)}
-            # repeat-profile track (BASELINE config 3 options)
-            rd, rl = time_reference(work, ["-k20", "-T4", "-p"], repeats=1)
-            od, ol, _ = time_ours(work, dict(profile=True), repeats=1,
-                                  subdir="ours_p")
-            prof_ok = all(
-                (work / f".reads{ext}").read_bytes()
-                == (work / "ours_p" / f".reads{ext}").read_bytes()
-                for ext in (".prof.anno", ".prof.data"))
-            variants["profile"] = {
-                "vs_baseline": round(rd / od, 4),
-                "las_identical": las_identical(rl, ol),
-                "profile_track_identical": prof_ok}
+            if VARIANT_SET is None or "n95_C" in VARIANT_SET:
+                # near-optimal chains + dual output (BASELINE config 2)
+                rd, rl = time_reference(work,
+                                        ["-k20", "-T4", "-n.95", "-C"],
+                                        repeats=1)
+                od, ol, _ = time_ours(work, dict(best_tie=.95, do_b=True),
+                                      repeats=1, subdir="ours_nC")
+                variants["n95_C"] = {
+                    "vs_baseline": round(rd / od, 4),
+                    "las_identical": las_identical(rl, ol)}
+            if VARIANT_SET is None or "profile" in VARIANT_SET:
+                # repeat-profile track (BASELINE config 3 options)
+                rd, rl = time_reference(work, ["-k20", "-T4", "-p"],
+                                        repeats=1)
+                od, ol, _ = time_ours(work, dict(profile=True), repeats=1,
+                                      subdir="ours_p")
+                prof_ok = all(
+                    (work / f".{b}{ext}").read_bytes()
+                    == (work / "ours_p" / f".{b}{ext}").read_bytes()
+                    for b in _reads_blocks(work)
+                    for ext in (".prof.anno", ".prof.data"))
+                variants["profile"] = {
+                    "vs_baseline": round(rd / od, 4),
+                    "las_identical": las_identical(rl, ol),
+                    "profile_track_identical": prof_ok}
             result["variants"] = variants
     except Exception as e:  # always emit the JSON line
         result["error"] = f"{type(e).__name__}: {e}"

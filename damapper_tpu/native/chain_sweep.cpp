@@ -153,6 +153,9 @@ static void sweep_group(int32_t ar, int32_t br,
     }
 
     // end-of-group scan: active set in decreasing key order, then expiries
+    // in REVERSE expiry order (the reference prepends each expiring node,
+    // map.c:1790-1794, so its expired list is LIFO; the order decides which
+    // of two equal-span LAs survives Handle_Redundancies)
     auto emit = [&](Node *h) {
         if (h->cost >= hithr && h->orig->best == h) {
             int32_t ab = h->orig->apos - kmer;
@@ -175,7 +178,7 @@ static void sweep_group(int32_t ar, int32_t br,
         }
     };
     for (auto j = active.rbegin(); j != active.rend(); ++j) emit(j->second);
-    for (Node *h : expired) emit(h);
+    for (auto j = expired.rbegin(); j != expired.rend(); ++j) emit(*j);
 }
 
 }  // namespace

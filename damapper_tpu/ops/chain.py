@@ -110,7 +110,10 @@ class ChainState:
     def _sweep_group(self, apos_arr, bpos_arr):
         """Run the chain sweep over one group's hits (ascending apos order).
         Returns the end-of-group scan list: active nodes in decreasing key
-        order followed by expired chain-best nodes in expiry order."""
+        order followed by expired chain-best nodes in REVERSE expiry order
+        (the reference prepends each expiring node, map.c:1790-1794, so its
+        expired list is LIFO — the order decides which of two equal-span
+        LAs survives Handle_Redundancies)."""
         keys: list[tuple] = []      # sorted ascending (diag, apos)
         nodes: dict[tuple, _Node] = {}
         queue: list[_Node] = []
@@ -183,10 +186,11 @@ class ChainState:
 
             queue.append(nd)
 
-        # end of group: active set in DECREASING key order + expired
-        # (linearize map.c:1205-1225 yields decreasing (diag,apos))
+        # end of group: active set in DECREASING key order + expired LIFO
+        # (linearize map.c:1205-1225 yields decreasing (diag,apos), with the
+        # prepend-built expired list appended)
         scan = [nodes[k] for k in reversed(keys)]
-        scan.extend(expired)
+        scan.extend(reversed(expired))
         return scan
 
     def _extend(self, nd: _Node, p: _Node, cost: int, keys, nodes):

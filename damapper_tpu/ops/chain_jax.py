@@ -194,15 +194,17 @@ def sweep_hits_device(apos1: np.ndarray, bpos1: np.ndarray,
 def emit_group(state, apos1, bpos1, gsize: int, kmer: int, hithr: int):
     """Reproduce the end-of-group scan + candidate emission from device
     state: yields (cost, ab, ae, bb, be, length, jumps) in the host sweep's
-    exact order (active set by decreasing key, then expiries in queue
-    order; chain_length same-diagonal compression applied)."""
+    exact order (active set by decreasing key, then expiries in REVERSE
+    queue order — the reference prepends each expiring node so its expired
+    list is LIFO, map.c:1790-1794; chain_length same-diagonal compression
+    applied)."""
     cost, frm, orig, best, absorbed, expired, estep = state
     diag = apos1 - bpos1
     active = (~absorbed.astype(bool)) & (estep >= gsize)
     act_idx = np.flatnonzero(active)
     # decreasing (diag, apos) order
     order = np.lexsort((-apos1[act_idx], -diag[act_idx]))
-    scan = list(act_idx[order]) + list(np.flatnonzero(expired))
+    scan = list(act_idx[order]) + list(np.flatnonzero(expired)[::-1])
 
     res = []
     frm_l = frm.copy()      # chain_length mutates links

@@ -96,3 +96,40 @@ def test_device_multi_pass_accumulation():
         s1.process_hits(h, bstart=0, comp=comp, native=False)
         s2.process_hits(h, bstart=0, comp=comp, device=True)
     assert dump(s1) == dump(s2)
+
+
+def _two_expired_chains():
+    """One (aread, bread) group where BOTH chain heads expire before the
+    group's last hit: chain A (early, low apos), chain B (later), plus a
+    lone tail hit > MAX_GAP past B.  The reference builds its expired list
+    by PREPENDING each expiring node (map.c:1790-1794), so candidate
+    creation order must be [B, A] (LIFO) — which, with the prepend-built
+    candidate stack, puts A first in the reporter's walk.  The order picks
+    which of two equal-span LAs survives Handle_Redundancies (the 50k-read
+    trace-parity edge, read 5749)."""
+    apos_a = np.arange(40, 40 + 5 * 60, 60, np.int32)          # chain A
+    apos_b = np.arange(2000, 2000 + 5 * 60, 60, np.int32)      # chain B
+    tail = np.array([apos_b[-1] + 1500], np.int32)             # expires B
+    apos = np.concatenate([apos_a, apos_b, tail])
+    diag = np.concatenate([np.full(5, -100, np.int32),
+                           np.full(5, -250, np.int32),
+                           np.array([5000], np.int32)])
+    n = len(apos)
+    return SeedHits(np.zeros(n, np.int32), np.zeros(n, np.int32),
+                    apos, diag)
+
+
+@pytest.mark.parametrize("backend", ["python", "native", "device"])
+def test_expired_chains_emit_lifo(backend):
+    hits = _two_expired_chains()
+    st = ChainState(1, kmer=20)
+    if backend == "device":
+        st.process_hits(hits, bstart=0, comp=0, device=True)
+    else:
+        st.process_hits(hits, bstart=0, comp=0, native=backend == "native")
+    cands = st.cands[0]
+    assert len(cands) == 2
+    # reference reporter order: earlier-expired chain first (LIFO creation
+    # + prepend-built candidate stack)
+    assert cands[0].alast < cands[1].alast, \
+        f"expired-chain candidate order not LIFO: {[c.alast for c in cands]}"
