@@ -250,15 +250,63 @@ def _mask_bad(db, cap: int) -> np.ndarray:
     return bad
 
 
+def pack_seq(seq: np.ndarray, cap: int) -> np.ndarray:
+    """Pack numeric bases 4-per-byte (big-endian 2-bit groups), cap-padded.
+    Sentinel values (4) lose their identity — the device side re-marks
+    every position outside a read interval (see _unpack_seq)."""
+    assert cap % 4 == 0
+    b = np.zeros(cap, np.uint8)
+    b[:len(seq)] = seq
+    b &= 3
+    return ((b[0::4] << 6) | (b[1::4] << 4) | (b[2::4] << 2)
+            | b[3::4]).astype(np.uint8)
+
+
+@jax.jit
+def _unpack_seq(packed, starts, ends):
+    """uint8[4*len(packed)] numeric bases with 4-sentinels restored at every
+    position not inside a [start, end) read interval.  The interval map
+    uses the value-marked cummax trick (marks increase with position, so
+    cummax holds the covering read's bounds) — no scatter bigger than the
+    read count."""
+    L = 4 * packed.shape[0]
+    p = packed.astype(jnp.uint32)
+    quads = jnp.stack([(p >> 6) & 3, (p >> 4) & 3, (p >> 2) & 3, p & 3],
+                      axis=1)
+    seq = quads.reshape(L).astype(jnp.uint8)
+    smarks = jnp.zeros(L, jnp.int32).at[starts].max(starts)
+    boff_of = lax.cummax(smarks)
+    emarks = jnp.zeros(L, jnp.int32).at[starts].max(ends)
+    end_of = lax.cummax(emarks)
+    idx = jnp.arange(L, dtype=jnp.int32)
+    inside = (boff_of <= idx) & (idx < end_of)
+    return jnp.where(inside, seq, jnp.uint8(4))
+
+
 def device_upload_seq(db) -> jax.Array:
     """Upload a loaded block's sentinel sequence once, bucket-padded;
-    reusable across orientations and k choices of device_sort_kmers."""
+    reusable across orientations and k choices of device_sort_kmers.
+
+    The transfer rides 2-bit-packed (4 bases/byte): the axon tunnel is
+    the bottleneck for block-sized uploads (~3-6s per 200 MB block), so
+    shipping cap/4 bytes and unpacking on device (one cheap fused pass,
+    sentinels restored from the read-interval table) cuts upload wall
+    4x.  DAMAPPER_PACK_UPLOAD=0 restores the plain uint8 upload."""
     assert db.seq is not None, "db.load_bases() first"
     L = len(db.seq)
     cap = _bucket(L)
-    seq = np.full(cap, 4, np.uint8)
-    seq[:L] = db.seq
-    return jnp.asarray(seq)
+    if os.environ.get("DAMAPPER_PACK_UPLOAD", "1") == "0":
+        seq = np.full(cap, 4, np.uint8)
+        seq[:L] = db.seq
+        return jnp.asarray(seq)
+    # rcap-padded interval table (pad marks are 0/0 no-ops under .max)
+    rcap = _bucket(db.nreads, lo=1 << 8)
+    starts = np.zeros(rcap, np.int32)
+    ends = np.zeros(rcap, np.int32)
+    starts[:db.nreads] = db.reads["boff"]
+    ends[:db.nreads] = db.reads["boff"] + db.reads["rlen"]
+    return _unpack_seq(jnp.asarray(pack_seq(db.seq, cap)),
+                       jnp.asarray(starts), jnp.asarray(ends))
 
 
 def device_sort_kmers(db, kmer: int, suppress: int = 0, comp: bool = False,

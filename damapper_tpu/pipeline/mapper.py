@@ -189,13 +189,16 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
                                         device_match_seeds_sharded,
                                         device_sort_kmers,
                                         device_upload_seq, shard_index)
-        bindex = device_sort_kmers(reads_db, cfg.kmer, cfg.suppress)
+        reads_seq_dev = device_upload_seq(reads_db)   # one (packed) upload
+        bindex = device_sort_kmers(reads_db, cfg.kmer, cfg.suppress,
+                                   seq_dev=reads_seq_dev)
         # the reads' revcomp index (one-time) lets BOTH orientations match
         # against a single forward reference index per block — the comp
         # ref build (one full-block sort per block) disappears; hits stay
         # bit-identical via emission-time frame mirroring
         bindex_rc = device_sort_kmers(reads_db, cfg.kmer, cfg.suppress,
-                                      comp=True)
+                                      comp=True, seq_dev=reads_seq_dev)
+        del reads_seq_dev
         if sharded_ix:
             bindex = shard_index(bindex, mesh, "dp")
             bindex_rc = shard_index(bindex_rc, mesh, "dp")

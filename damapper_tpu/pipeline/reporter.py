@@ -18,6 +18,7 @@ map.c:1925-2871):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -355,6 +356,40 @@ class Reporter:
 
     # -- batched block alignment on the device engine -------------------------
 
+    @staticmethod
+    def _upload_flat(flat, reads_db, ref_db, comp_off, ref_off):
+        """Device copy of the [reads | comp reads | ref] sequence memory.
+
+        Ships 2-bit-packed (4 bases/byte) and unpacks on device — the axon
+        tunnel is the bottleneck for block-sized uploads, and the combined
+        buffer is the biggest single transfer of a block run.  Sentinels
+        are restored from the three sections' read-interval tables.
+        DAMAPPER_PACK_UPLOAD=0 restores the plain upload."""
+        import jax.numpy as jnp
+
+        if os.environ.get("DAMAPPER_PACK_UPLOAD", "1") == "0":
+            return jnp.asarray(flat)
+        from ..ops.device_index import _bucket, _unpack_seq, pack_seq
+
+        rb = reads_db.reads["boff"].astype(np.int64)
+        rl = reads_db.reads["rlen"].astype(np.int64)
+        fb = ref_db.reads["boff"].astype(np.int64)
+        fl = ref_db.reads["rlen"].astype(np.int64)
+        starts = np.concatenate([rb, rb + comp_off, fb + ref_off])
+        ends = np.concatenate([rb + rl, rb + rl + comp_off,
+                               fb + fl + ref_off])
+        rcap = _bucket(len(starts), lo=1 << 8)
+        s = np.zeros(rcap, np.int32)
+        e = np.zeros(rcap, np.int32)
+        s[:len(starts)] = starts
+        e[:len(ends)] = ends
+        # bucketed cap: stable compile shapes across blocks; the padded
+        # tail unpacks to sentinel 4s, which lane windows treat as
+        # boundaries, so the engine can consume the padded buffer as-is
+        cap = _bucket(len(flat))
+        return _unpack_seq(jnp.asarray(pack_seq(flat, cap)),
+                           jnp.asarray(s), jnp.asarray(e))
+
     def _align_block_batched(self, reads_db, ref_db, state):
         """Align every candidate of every read with the batched wave engine.
 
@@ -378,7 +413,7 @@ class Reporter:
         flat = np.concatenate([rd_seq, comp_seq, ref_seq])
         comp_off = len(rd_seq)
         ref_off = 2 * len(rd_seq)
-        dev = jnp.asarray(flat)
+        dev = self._upload_flat(flat, reads_db, ref_db, comp_off, ref_off)
 
         tasks = []
         per_read = [[] for _ in range(nreads)]
