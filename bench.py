@@ -72,6 +72,9 @@ RBSIZE = int(os.environ.get("BENCH_RBSIZE", 0))
 # identical runs); report the best of BENCH_REPEATS attempts.  The CPU
 # fallback is slow and not jittery — one attempt
 REPEATS = int(os.environ.get("BENCH_REPEATS", 1 if _CPU_FB else 2))
+# the reference is CPU-bound and much less jittery than the tunnel; large
+# configs can't afford its wall twice (BENCH_REF_REPEATS=1 there)
+REF_REPEATS = int(os.environ.get("BENCH_REF_REPEATS", REPEATS))
 # BENCH_VARIANTS: "1" (all), "0" (none), or a comma list from
 # {"n95_C", "profile"} — large-read-count configs can't afford every
 # variant but BASELINE config 3 still needs the -p profile gate
@@ -193,9 +196,13 @@ def las_identical(ref_las, our_las) -> bool:
 
 def main():
     # per-config dataset dir: configs must not share files
+    # non-default block sizes get their own dir: a reads-DB re-split into
+    # blocks must not overwrite the single-block layout (stale mixed
+    # layouts confused one bench variant before this suffix existed)
     work = REPO / "tests" / "data" / "bench" / (
         f"ds_{SEED}_{GLEN}_{NREADS}"
-        + (f"_b{BSIZE}" if BSIZE != 260_000_000 else ""))
+        + (f"_b{BSIZE}" if BSIZE != 260_000_000 else "")
+        + (f"_r{RBSIZE}" if RBSIZE else ""))
     result = {
         "metric": "reads mapped/sec, simulated PacBio 15% err vs reference "
                   f"damapper (genome {GLEN}bp, {NREADS} reads, -k20)",
@@ -232,7 +239,8 @@ def main():
         # best-of for the reference too: host contention swings its
         # wall-clock 2-3x, and a one-shot ref time makes ratios unfair
         # in either direction
-        ref_dt, ref_las = time_reference(work, ["-k20", "-T4"])
+        ref_dt, ref_las = time_reference(work, ["-k20", "-T4"],
+                                         repeats=REF_REPEATS)
         our_dt, our_las, stats = time_ours(work)
         result["value"] = round(NREADS / our_dt, 3)
         # dispersion: tunnel/host contention swings single runs ~30%, so
@@ -255,32 +263,47 @@ def main():
             result["reference_reads_per_sec"] = round(NREADS / ref_dt, 3)
 
         if VARIANTS and ref_dt is not None:
+            # a variant where the REFERENCE binary itself crashes (e.g. its
+            # -T4 -p profile pass segfaults on a <~4-reads-per-thread
+            # trailing block — reproduced clean-room, tests/bin/damapper_ref
+            # -k20 -T4 -p on a 15-read block) is recorded as that variant's
+            # reference_error, not a whole-bench failure: our pipeline maps
+            # the same input fine
             variants = {}
             if VARIANT_SET is None or "n95_C" in VARIANT_SET:
                 # near-optimal chains + dual output (BASELINE config 2)
-                rd, rl = time_reference(work,
-                                        ["-k20", "-T4", "-n.95", "-C"],
-                                        repeats=1)
-                od, ol, _ = time_ours(work, dict(best_tie=.95, do_b=True),
-                                      repeats=1, subdir="ours_nC")
-                variants["n95_C"] = {
-                    "vs_baseline": round(rd / od, 4),
-                    "las_identical": las_identical(rl, ol)}
+                try:
+                    rd, rl = time_reference(work,
+                                            ["-k20", "-T4", "-n.95", "-C"],
+                                            repeats=1)
+                    od, ol, _ = time_ours(work,
+                                          dict(best_tie=.95, do_b=True),
+                                          repeats=1, subdir="ours_nC")
+                    variants["n95_C"] = {
+                        "vs_baseline": round(rd / od, 4),
+                        "las_identical": las_identical(rl, ol)}
+                except Exception as e:
+                    variants["n95_C"] = {
+                        "reference_error": f"{type(e).__name__}: {e}"[:300]}
             if VARIANT_SET is None or "profile" in VARIANT_SET:
                 # repeat-profile track (BASELINE config 3 options)
-                rd, rl = time_reference(work, ["-k20", "-T4", "-p"],
-                                        repeats=1)
-                od, ol, _ = time_ours(work, dict(profile=True), repeats=1,
-                                      subdir="ours_p")
-                prof_ok = all(
-                    (work / f".{b}{ext}").read_bytes()
-                    == (work / "ours_p" / f".{b}{ext}").read_bytes()
-                    for b in _reads_blocks(work)
-                    for ext in (".prof.anno", ".prof.data"))
-                variants["profile"] = {
-                    "vs_baseline": round(rd / od, 4),
-                    "las_identical": las_identical(rl, ol),
-                    "profile_track_identical": prof_ok}
+                try:
+                    rd, rl = time_reference(work, ["-k20", "-T4", "-p"],
+                                            repeats=1)
+                    od, ol, _ = time_ours(work, dict(profile=True),
+                                          repeats=1, subdir="ours_p")
+                    prof_ok = all(
+                        (work / f".{b}{ext}").read_bytes()
+                        == (work / "ours_p" / f".{b}{ext}").read_bytes()
+                        for b in _reads_blocks(work)
+                        for ext in (".prof.anno", ".prof.data"))
+                    variants["profile"] = {
+                        "vs_baseline": round(rd / od, 4),
+                        "las_identical": las_identical(rl, ol),
+                        "profile_track_identical": prof_ok}
+                except Exception as e:
+                    variants["profile"] = {
+                        "reference_error": f"{type(e).__name__}: {e}"[:300]}
             result["variants"] = variants
     except Exception as e:  # always emit the JSON line
         result["error"] = f"{type(e).__name__}: {e}"

@@ -134,6 +134,44 @@ class DamapperConfig:
         self.mesh = mesh
 
 
+# Device-resident reference-index cache across run_damapper calls: mapping
+# many read blocks against one reference (the reference's per-block HPC job
+# layout, HPC.damapper.c job loop) rebuilds the SAME ref-block index each
+# call.  Keyed by (block file path, mtime, k, -t, masks); single-device
+# path only (the sharded index is mesh-bound).  Bounded by total payload
+# bytes — at most one ~full-size block index stays resident alongside the
+# wave engine's buffers.  DAMAPPER_REFCACHE=0 disables; the byte budget is
+# DAMAPPER_REFCACHE_MB (default 4096).
+_ref_index_cache: dict = {}
+_ref_index_cache_bytes = [0]
+
+
+def _ref_cache_get(key):
+    if os.environ.get("DAMAPPER_REFCACHE", "1") == "0":
+        return None
+    ent = _ref_index_cache.get(key)
+    if ent is not None:
+        _ref_index_cache[key] = _ref_index_cache.pop(key)  # LRU touch
+        return ent[0]
+    return None
+
+
+def _ref_cache_put(key, aindex):
+    if os.environ.get("DAMAPPER_REFCACHE", "1") == "0":
+        return
+    nbytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                 for a in (aindex.hi, aindex.lo, aindex.pos))
+    budget = int(os.environ.get("DAMAPPER_REFCACHE_MB", "4096")) << 20
+    if nbytes > budget:
+        return
+    while _ref_index_cache and _ref_index_cache_bytes[0] + nbytes > budget:
+        oldest = next(iter(_ref_index_cache))     # LRU: insertion-ordered
+        _, old_bytes = _ref_index_cache.pop(oldest)
+        _ref_index_cache_bytes[0] -= old_bytes
+    _ref_index_cache[key] = (aindex, nbytes)
+    _ref_index_cache_bytes[0] += nbytes
+
+
 def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
                  out_dir: str = "."):
     """Map one reads DB/block against a reference DAM.  Returns
@@ -234,7 +272,17 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
 
         # one upload serves both orientations (the comp index derives
         # elementwise on device; no Complement_DB pass, damapper.c:433-525)
-        ref_seq_dev = device_upload_seq(ref_blk) if use_device_index else None
+        rkey = None
+        cached_aindex = None
+        if use_device_index and not sharded_ix:
+            # block paths are virtual (stub+.idx encode the blocks):
+            # key on the stub file's identity + the block number
+            rkey = (os.path.abspath(stubp), os.path.getmtime(stubp), k,
+                    cfg.kmer, cfg.suppress, tuple(cfg.masks))
+            cached_aindex = _ref_cache_get(rkey)
+        ref_seq_dev = (device_upload_seq(ref_blk)
+                       if use_device_index and cached_aindex is None
+                       else None)
         for comp in (0, 1):
             if comp and not use_device_index:
                 ref_blk.complement_inplace()
@@ -242,11 +290,16 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
             _t = _time.time()
             if use_device_index:
                 if comp == 0:
-                    aindex = device_sort_kmers(
-                        ref_blk, cfg.kmer, cfg.suppress,
-                        seq_dev=ref_seq_dev)
+                    if cached_aindex is not None:
+                        aindex = cached_aindex
+                    else:
+                        aindex = device_sort_kmers(
+                            ref_blk, cfg.kmer, cfg.suppress,
+                            seq_dev=ref_seq_dev)
                     if sharded_ix:
                         aindex = shard_index(aindex, mesh, "ref")
+                    elif rkey is not None and cached_aindex is None:
+                        _ref_cache_put(rkey, aindex)
                 # comp == 1 reuses the forward aindex: the reads' revcomp
                 # index provides the orientation (damapper.c:851-861's
                 # complement pass without the second Sort_Kmers)

@@ -308,3 +308,59 @@ def test_e2e_subblock_partitioning(tmp_path, monkeypatch):
     assert len(grecs) > 0
     d = diff_las(grecs, orecs)
     assert not d, d
+
+
+def test_e2e_ref_index_cache_multiblock(tmp_path):
+    """The process-level device ref-index cache (mapper._ref_index_cache)
+    must leave multi-read-block output identical to a cache-off run, with
+    the cache actually hit on the second block (damapper.c's per-job
+    rebuild of the same reference index, eliminated in-process)."""
+    from damapper_tpu.pipeline import mapper as mp
+
+    make_dataset(tmp_path, seed=43, glen=90_000, ncontigs=3, nreads=24,
+                 bsize=60_000)
+    # re-create the reads DB split into 2 blocks
+    pathlib.Path(tmp_path / "reads.db").unlink()
+    rng = np.random.default_rng(43)
+    genome = helpers.sim_genome(rng, 90_000)
+    clen = 30_000
+    entries = [fasta.FastaEntry(f"ctg{i}", genome[i * clen:(i + 1) * clen])
+               for i in range(3)]
+    reads = []
+    for _ in range(24):
+        ci = int(rng.integers(0, 3))
+        r, *_ = helpers.sim_read(rng, entries[ci].seq,
+                                 min_len=2000, max_len=8000)
+        reads.append(r)
+    dbio.create_db(str(tmp_path / "reads.db"),
+                   [fasta.FastaEntry(f"r{i}", r)
+                    for i, r in enumerate(reads)], bsize=60_000)
+    stub = dbio.read_stub(str(tmp_path / "reads.db"))
+    assert stub.nblocks >= 2
+
+    def run_all(sub, cache):
+        import os
+        os.environ["DAMAPPER_REFCACHE"] = cache
+        mp._ref_index_cache.clear()
+        mp._ref_index_cache_bytes[0] = 0
+        out = tmp_path / sub
+        out.mkdir(exist_ok=True)
+        try:
+            return [run_damapper(str(tmp_path / "ref.dam"),
+                                 str(tmp_path / f"reads.{b}"),
+                                 DamapperConfig(index_backend="device",
+                                                mesh=None),
+                                 out_dir=str(out))[0]
+                    for b in range(1, stub.nblocks + 1)]
+        finally:
+            os.environ.pop("DAMAPPER_REFCACHE", None)
+
+    plain = run_all("nocache", "0")
+    cached = run_all("cache", "1")
+    assert len(mp._ref_index_cache) >= 1     # resident after the run
+    for x, y in zip(plain, cached):
+        a, ta = lasio.read_las(x)
+        b, tb = lasio.read_las(y)
+        assert ta == tb
+        d = diff_las(a, b)
+        assert not d, d
