@@ -364,7 +364,18 @@ def _join_ranges(bhi, blo, bn, qhi, qlo):
     a sort-merge join: count of b-keys < q (and < q+1) from one combined
     stable sort — O((m+2q) log) sort throughput instead of per-query
     binary-search gather latency (the TPU analog of merge_thread's linear
-    merge, reference map.c:939-1002)."""
+    merge, reference map.c:939-1002).
+
+    DAMAPPER_JOIN=bsearch switches to the binary-search join the sharded
+    matcher uses (the b side is already sorted, so the combined sort's
+    O(m log) re-sorting of it per block is avoidable): 2*log2(m) gathered
+    compare rounds over the queries.  Wins when the query side is large
+    relative to sort throughput (read-block-scale joins); results are
+    identical — padding/sentinel keys clamp to bn on both paths."""
+    if os.environ.get("DAMAPPER_JOIN", "sort") == "bsearch":
+        b_lo = jnp.minimum(_searchsorted2(bhi, blo, qhi, qlo, "left"), bn)
+        b_hi = jnp.minimum(_searchsorted2(bhi, blo, qhi, qlo, "right"), bn)
+        return b_lo, b_hi
     m = bhi.shape[0]
     nq = qhi.shape[0]
     one = jnp.uint32(1)

@@ -17,7 +17,10 @@ BASES = "ACGT"
 
 
 def sim_genome(rng: np.random.Generator, length: int) -> str:
-    return "".join(BASES[i] for i in rng.integers(0, 4, size=length))
+    # vectorized but draw-identical to "".join(BASES[i] for i in draws):
+    # Gbp-scale genomes take seconds, not minutes
+    draws = rng.integers(0, 4, size=length)
+    return np.frombuffer(BASES.encode(), dtype="S1")[draws].tobytes().decode()
 
 
 def sim_read(rng: np.random.Generator, genome: str, min_len=2000, max_len=12000,
