@@ -167,9 +167,10 @@ def time_ours(work: pathlib.Path, cfg_kw=None, repeats=None, subdir="ours"):
             else:
                 for k, v in st.get("times", {}).items():
                     rstats["times"][k] = rstats["times"].get(k, 0) + v
-                for k in ("cell_updates", "n_lanes"):
+                for k in ("cell_updates", "n_lanes",
+                          "align_device_s", "align_host_s"):
                     if st.get(k):
-                        rstats[k] = rstats.get(k, 0) + st[k]
+                        rstats[k] = round(rstats.get(k, 0) + st[k], 2)
         dt = time.time() - t0
         samples.append(round(dt, 2))
         if best is None or dt < best:
@@ -251,6 +252,10 @@ def main():
         if stats.get("times"):
             result["stage_seconds"] = {
                 k: round(v, 2) for k, v in stats["times"].items()}
+        if stats.get("align_device_s") is not None:
+            # device kernel wall vs host extraction/refinement inside align
+            result["align_device_s"] = stats["align_device_s"]
+            result["align_host_s"] = stats["align_host_s"]
         if stats.get("cell_updates"):
             t = max(1e-9, stats["times"].get("align", our_dt))
             result["cell_updates_per_sec"] = round(

@@ -359,7 +359,7 @@ def _self_ranges(hi, lo):
     return gl, gr
 
 
-def _join_ranges(bhi, blo, bn, qhi, qlo):
+def _join_ranges(bhi, blo, bn, qhi, qlo, join: str = "sort"):
     """(b_lo, b_hi) spans of each query key in a sorted 2-plane b array via
     a sort-merge join: count of b-keys < q (and < q+1) from one combined
     stable sort — O((m+2q) log) sort throughput instead of per-query
@@ -372,12 +372,41 @@ def _join_ranges(bhi, blo, bn, qhi, qlo):
     compare rounds over the queries.  Wins when the query side is large
     relative to sort throughput (read-block-scale joins); results are
     identical — padding/sentinel keys clamp to bn on both paths."""
-    if os.environ.get("DAMAPPER_JOIN", "sort") == "bsearch":
+    if join == "bsearch":
         b_lo = jnp.minimum(_searchsorted2(bhi, blo, qhi, qlo, "left"), bn)
         b_hi = jnp.minimum(_searchsorted2(bhi, blo, qhi, qlo, "right"), bn)
         return b_lo, b_hi
     m = bhi.shape[0]
     nq = qhi.shape[0]
+    if join == "sortg" and 2 * nq + 1 <= 0x7FFFFFFF:
+        # b_hi from b's OWN group spans instead of a q+1 query copy: only
+        # one query image rides the combined sort, so both big sorts move
+        # ~29% fewer rows (measured: the whole join is sort-traffic-bound).
+        # b_hi = b_lo + |group at b_lo| when the key at b_lo equals q
+        # (b_lo is then that group's first entry); all-ones/padding edges
+        # collapse into the bn clamp because real entries of the sentinel
+        # group are contiguous up to bn.
+        idx = jnp.arange(m, dtype=jnp.int32)
+        first = jnp.concatenate([jnp.ones(1, bool),
+                                 (bhi[1:] != bhi[:-1])
+                                 | (blo[1:] != blo[:-1])])
+        fpos = jnp.where(first, idx, jnp.int32(m))
+        rmin = lax.cummin(fpos[::-1])[::-1]      # min group-start > i
+        gr = jnp.concatenate([rmin[1:], jnp.full(1, m, jnp.int32)])
+        chi = jnp.concatenate([qhi, bhi])
+        clo = jnp.concatenate([qlo, blo])
+        qidt = jnp.concatenate([
+            jnp.arange(nq, dtype=jnp.int32) << 1,
+            jnp.full(m, (nq << 1) | 1, jnp.int32)])
+        chi, clo, qidt = lax.sort((chi, clo, qidt), num_keys=3)
+        tag = qidt & 1
+        nb_before = jnp.cumsum(tag) - tag
+        _, res = lax.sort((qidt, nb_before), num_keys=1)
+        b_lo = jnp.minimum(res[:nq], bn)
+        j = jnp.minimum(b_lo, m - 1)
+        eq = (bhi[j] == qhi) & (blo[j] == qlo) & (b_lo < bn)
+        b_hi = jnp.where(eq, jnp.minimum(gr[j], bn), b_lo)
+        return b_lo, b_hi
     one = jnp.uint32(1)
     q1lo = qlo + one
     q1hi = qhi + (q1lo == 0).astype(jnp.uint32)
@@ -418,23 +447,38 @@ def _join_ranges(bhi, blo, bn, qhi, qlo):
     return b_lo, b_hi
 
 
+def _join_mode() -> str:
+    """Single-device join strategy, read at call time (a static jit arg, so
+    one process can run both for A/B without cache poisoning)."""
+    return os.environ.get("DAMAPPER_JOIN", "sort")
+
+
 def _searchsorted2(khi, klo, qhi, qlo, side: str):
     """Vectorized binary search over a 2-plane sorted key array: a fixed
-    log2(n) loop of gathered compares (static shapes, TPU-friendly)."""
+    log2(n) loop of gathered compares (static shapes, TPU-friendly).
+
+    The loop is a lax.fori_loop, NOT an unrolled Python loop: unrolled,
+    XLA materializes every round's gathered key planes at once (observed
+    43.5G of HLO temps at a 100M-query join — an OOM at any block scale);
+    rolled, the round's two gathers reuse one buffer."""
     n = khi.shape[0]
-    lo = jnp.zeros(qhi.shape, jnp.int32)
-    hi = jnp.full(qhi.shape, n, jnp.int32)
+    left = side == "left"
     steps = max(1, int(np.ceil(np.log2(max(2, n)))) + 1)
-    for _ in range(steps):
+
+    def body(_, st):
+        lo, hi = st
         mid = (lo + hi) >> 1
         mh = khi[mid]
         ml = klo[mid]
-        if side == "left":
+        if left:
             less = (mh < qhi) | ((mh == qhi) & (ml < qlo))
         else:
             less = (mh < qhi) | ((mh == qhi) & (ml <= qlo))
-        lo = jnp.where(less, mid + 1, lo)
-        hi = jnp.where(less, hi, mid)
+        return (jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid))
+
+    lo = jnp.zeros(qhi.shape, jnp.int32)
+    hi = jnp.full(qhi.shape, n, jnp.int32)
+    lo, hi = lax.fori_loop(0, steps, body, (lo, hi))
     return lo
 
 
@@ -446,9 +490,9 @@ def _pos_to_read_rpos(p, boffs, kmer: int):
     return r, p - boffs[r] + (kmer - 1)
 
 
-@functools.partial(jax.jit, static_argnames=("use_gram",))
+@functools.partial(jax.jit, static_argnames=("use_gram", "join"))
 def _match_count_pair(fhi, flo, fan, chi, clo, can, bhi, blo, bn,
-                      use_gram: bool):
+                      use_gram: bool, join: str = "sort"):
     """_match_count for BOTH orientations against one b index: the join
     (the expensive combined sort) runs ONCE over the concatenated
     forward+revcomp query keys; group/histogram epilogues stay
@@ -463,7 +507,7 @@ def _match_count_pair(fhi, flo, fan, chi, clo, can, bhi, blo, bn,
     nq = fhi.shape[0]
     qhi = jnp.concatenate([fhi, chi])
     qlo = jnp.concatenate([flo, clo])
-    b_lo2, b_hi2 = _join_ranges(bhi, blo, bn, qhi, qlo)
+    b_lo2, b_hi2 = _join_ranges(bhi, blo, bn, qhi, qlo, join)
 
     def _epi(hi, lo, an_, b_lo, b_hi):
         idx = jnp.arange(nq, dtype=jnp.int32)
@@ -489,15 +533,16 @@ def _match_count_pair(fhi, flo, fan, chi, clo, can, bhi, blo, bn,
     return (b_lo2[:nq], fcb, fct, fgram), (b_lo2[nq:], ccb, cct, cgram)
 
 
-@functools.partial(jax.jit, static_argnames=("use_gram",))
-def _match_count(ahi, alo, bhi, blo, an, bn, use_gram: bool):
+@functools.partial(jax.jit, static_argnames=("use_gram", "join"))
+def _match_count(ahi, alo, bhi, blo, an, bn, use_gram: bool,
+                 join: str = "sort"):
     """Pass 1: per-a-entry b-ranges, per-group totals, hit histogram and
     the total emitted-hit count (before the -M cap)."""
     n = ahi.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     live = idx < an
 
-    b_lo, b_hi = _join_ranges(bhi, blo, bn, ahi, alo)
+    b_lo, b_hi = _join_ranges(bhi, blo, bn, ahi, alo, join)
     cb = jnp.where(live, b_hi - b_lo, 0).astype(jnp.int32)
 
     # group structure over the a index (equal composite keys): spans from
@@ -637,7 +682,7 @@ def device_match_seeds(aidx: DeviceKmerIndex, bidx: DeviceKmerIndex,
 
     b_lo, cb, ct, gram = _match_count(aidx.hi, aidx.lo, bidx.hi, bidx.lo,
                                       jnp.int32(aidx.n), jnp.int32(bidx.n),
-                                      mem_limit > 0)
+                                      mem_limit > 0, _join_mode())
     if mem_limit > 0:
         avail = _avail_budget(mem_limit, db_bytes, aidx.n, bidx.n)
         limit = _device_limit(gram, jnp.int32(min(max(avail, 0),
@@ -713,7 +758,8 @@ def device_match_seeds_pair(reads_fwd: DeviceKmerIndex,
     (fb_lo, fcb, fct, fgram), (cb_lo, ccb, cct, cgram) = _match_count_pair(
         reads_fwd.hi, reads_fwd.lo, jnp.int32(reads_fwd.n),
         reads_rc.hi, reads_rc.lo, jnp.int32(reads_rc.n),
-        ref_idx.hi, ref_idx.lo, jnp.int32(ref_idx.n), mem_limit > 0)
+        ref_idx.hi, ref_idx.lo, jnp.int32(ref_idx.n), mem_limit > 0,
+        _join_mode())
     hits_f = _finish_match(reads_fwd, ref_idx, fb_lo, fcb, fct, fgram,
                            mem_limit, db_bytes, False)
     hits_c = _finish_match(reads_rc, ref_idx, cb_lo, ccb, cct, cgram,

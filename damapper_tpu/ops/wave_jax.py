@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 from dataclasses import dataclass
 
 import jax
@@ -782,6 +783,8 @@ class WaveEngine:
         self.n_hostmin = 0      # lanes routed to the host oracle (tiny rounds)
         self.n_winmiss = 0      # persistent-mode lanes retried on classic
         self.total_waves = 0    # summed per-lane wave counts (telemetry)
+        self.t_run = 0.0        # seconds inside _run (device + pull wait)
+        self.t_batch = 0.0      # seconds inside local_alignment_batch
         self.kit_log = []       # per-chunk kit arrays (DAMAPPER_WAVE_KIT)
         self.KIT_LOG_CAP = int(os.environ.get("DAMAPPER_WAVE_KIT_CAP",
                                               "4096"))
@@ -832,6 +835,15 @@ class WaveEngine:
 
     def _run(self, which, abase, bbase, mida, k0, aoffp, boffp,
              Aflat, Bflat, sortkey=None) -> WaveResult:
+        _t0 = time.perf_counter()
+        try:
+            return self._run_inner(which, abase, bbase, mida, k0, aoffp,
+                                   boffp, Aflat, Bflat, sortkey)
+        finally:
+            self.t_run += time.perf_counter() - _t0
+
+    def _run_inner(self, which, abase, bbase, mida, k0, aoffp, boffp,
+                   Aflat, Bflat, sortkey=None) -> WaveResult:
         P = self._activeP
         fn = self._get_fns(P)[0 if which == "fwd" else 1]
         n = len(abase)
@@ -939,6 +951,13 @@ class WaveEngine:
         flags.  Aflat/Bflat are device uint8 arrays of the loaded sequence
         memory (with `4` sentinels); Anp/Bnp the same as host numpy (for
         fallback + trace walking).  Returns list of (apath, bpath)."""
+        _t0 = time.perf_counter()
+        try:
+            return self._batch_inner(Aflat, Bflat, Anp, Bnp, seeds)
+        finally:
+            self.t_batch += time.perf_counter() - _t0
+
+    def _batch_inner(self, Aflat, Bflat, Anp, Bnp, seeds):
         n = len(seeds)
         self.n_total += n
         TS = self.spec.trace_space

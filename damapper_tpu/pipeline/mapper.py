@@ -440,7 +440,13 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
                                     * getattr(engine, "W", 0)),
                       n_fallback=getattr(engine, "n_fallback", 0),
                       n_winmiss=getattr(engine, "n_winmiss", 0),
-                      n_lanes=getattr(engine, "n_total", 0))
+                      n_lanes=getattr(engine, "n_total", 0),
+                      # align-stage split: device kernel+pull wall vs the
+                      # host side (trace extraction, refinement, fallback)
+                      align_device_s=round(getattr(engine, "t_run", 0.), 2),
+                      align_host_s=round(
+                          max(0., getattr(engine, "t_batch", 0.)
+                              - getattr(engine, "t_run", 0.)), 2))
     return a_path, b_path
 
 
