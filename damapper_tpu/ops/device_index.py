@@ -268,12 +268,24 @@ def _unpack_seq(packed, starts, ends):
     position not inside a [start, end) read interval.  The interval map
     uses the value-marked cummax trick (marks increase with position, so
     cummax holds the covering read's bounds) — no scatter bigger than the
-    read count."""
-    L = 4 * packed.shape[0]
-    p = packed.astype(jnp.uint32)
-    quads = jnp.stack([(p >> 6) & 3, (p >> 4) & 3, (p >> 2) & 3, p & 3],
-                      axis=1)
-    seq = quads.reshape(L).astype(jnp.uint8)
+    read count.
+
+    The 4-way interleave must NOT materialize an (N, 4) array: a minor dim
+    of 4 pads to 128 under TPU (8,128) tiling — 32x, a 34G allocation at a
+    260Mb block (observed compile OOM).  Instead rows of 32 packed bytes
+    spread to 128 output lanes on the MXU: B[r, j] = packed[r, j >> 2] via
+    a 0/1 selection matmul (f32 is exact for byte values), then a
+    per-lane shift/mask — every shape involved is (R, 32) or (R, 128)."""
+    n = packed.shape[0]
+    assert n % 32 == 0, "packed cap must be a multiple of 128 bases"
+    L = 4 * n
+    rows = packed.reshape(n // 32, 32).astype(jnp.float32)
+    j = jnp.arange(128, dtype=jnp.int32)
+    sel = (j[None, :] >> 2 == jnp.arange(32, dtype=jnp.int32)[:, None]
+           ).astype(jnp.float32)                      # [32, 128]
+    bytes128 = jnp.dot(rows, sel).astype(jnp.int32)   # [R, 128] replicated
+    shifts = (3 - (j & 3)) << 1                       # big-endian 2-bit
+    seq = ((bytes128 >> shifts[None, :]) & 3).reshape(L).astype(jnp.uint8)
     smarks = jnp.zeros(L, jnp.int32).at[starts].max(starts)
     boff_of = lax.cummax(smarks)
     emarks = jnp.zeros(L, jnp.int32).at[starts].max(ends)

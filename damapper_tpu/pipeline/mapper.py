@@ -139,9 +139,11 @@ class DamapperConfig:
 # layout, HPC.damapper.c job loop) rebuilds the SAME ref-block index each
 # call.  Keyed by (block file path, mtime, k, -t, masks); single-device
 # path only (the sharded index is mesh-bound).  Bounded by total payload
-# bytes — at most one ~full-size block index stays resident alongside the
-# wave engine's buffers.  DAMAPPER_REFCACHE=0 disables; the byte budget is
-# DAMAPPER_REFCACHE_MB (default 4096).
+# bytes — DAMAPPER_REFCACHE=0 disables; the byte budget is
+# DAMAPPER_REFCACHE_MB (default 2600: a 140Mb-block index is ~1.8G and
+# caches; a full 260Mb block's ~3.2G does not, because during the NEXT
+# block's build the cached entry would coexist with the new index AND the
+# join temps — ~13G+, too close to a 15.75G-HBM chip's ceiling).
 _ref_index_cache: dict = {}
 _ref_index_cache_bytes = [0]
 
@@ -161,7 +163,7 @@ def _ref_cache_put(key, aindex):
         return
     nbytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
                  for a in (aindex.hi, aindex.lo, aindex.pos))
-    budget = int(os.environ.get("DAMAPPER_REFCACHE_MB", "4096")) << 20
+    budget = int(os.environ.get("DAMAPPER_REFCACHE_MB", "2600")) << 20
     if nbytes > budget:
         return
     while _ref_index_cache and _ref_index_cache_bytes[0] + nbytes > budget:
