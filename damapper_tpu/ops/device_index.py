@@ -257,6 +257,15 @@ def pack_seq(seq: np.ndarray, cap: int) -> np.ndarray:
     assert cap % 4 == 0
     b = np.zeros(cap, np.uint8)
     b[:len(seq)] = seq
+    if __debug__ and len(seq):
+        # in-read values >4 (a future ambiguity/track encoding) would be
+        # silently corrupted by the 2-bit mask below — sentinels (4) are
+        # the only legal non-base value today (~20ms/260Mb, ≪ upload wall)
+        mx = int(seq.max())
+        if mx > 4:
+            raise ValueError(
+                f"pack_seq: sequence contains value {mx} > 4; the 2-bit "
+                f"packed upload only preserves bases 0..3 and sentinels")
     b &= 3
     return ((b[0::4] << 6) | (b[1::4] << 4) | (b[2::4] << 2)
             | b[3::4]).astype(np.uint8)

@@ -1540,7 +1540,12 @@ def make_driver(W, P, BW, DBUF, G, reverse, use_pallas=True,
         segment = (segment_pallas_packed if packops else
                    segment_pallas) if use_pallas else segment_xla
     soff = -1 if reverse else 0
-    _maxit = int(os.environ.get("DAMAPPER_PALLAS_MAXIT", 0))
+    # safety bound (cf. the persistent driver's MAX_LAUNCH): body clears
+    # stall_rest unconditionally every iteration and any live lane advances
+    # >=1 wave per non-stall iteration (waves are bounded by the lane's
+    # a-extent), so legitimate batches finish orders of magnitude below
+    # this — the cap only converts a would-be device hang into termination
+    _maxit = int(os.environ.get("DAMAPPER_PALLAS_MAXIT", 4_000_000))
 
     def driver(abase, bbase, mida, k0, aoffp, boffp, Aflat, Bflat,
                ts, pave, msc, dsc):

@@ -161,8 +161,10 @@ def _ref_cache_get(key):
 def _ref_cache_put(key, aindex):
     if os.environ.get("DAMAPPER_REFCACHE", "1") == "0":
         return
-    nbytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
-                 for a in (aindex.hi, aindex.lo, aindex.pos))
+    arrs = [aindex.hi, aindex.lo, aindex.pos, aindex.boffs]
+    if aindex.rlens is not None:
+        arrs.append(aindex.rlens)
+    nbytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in arrs)
     budget = int(os.environ.get("DAMAPPER_REFCACHE_MB", "2600")) << 20
     if nbytes > budget:
         return
@@ -278,8 +280,21 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
         cached_aindex = None
         if use_device_index and not sharded_ix:
             # block paths are virtual (stub+.idx encode the blocks):
-            # key on the stub file's identity + the block number
-            rkey = (os.path.abspath(stubp), os.path.getmtime(stubp), k,
+            # key on the stub file's identity + the block number.  The
+            # index also depends on the sequence payload (.bps) and every
+            # mask track's files — the reference re-reads all of these per
+            # invocation (damapper.c:352-388), so a track regenerated
+            # between jobs in one process must bust the cache.
+            dep_mtimes = [os.path.getmtime(stubp)]
+            bpsp = os.path.join(pwd, "." + aroot_stub + ".bps")
+            if os.path.exists(bpsp):
+                dep_mtimes.append(os.path.getmtime(bpsp))
+            for m in cfg.masks:
+                for p in dbio.track_paths(
+                        os.path.join(pwd, "." + aroot_stub), k, m):
+                    dep_mtimes.append(os.path.getmtime(p)
+                                      if os.path.exists(p) else -1.0)
+            rkey = (os.path.abspath(stubp), tuple(dep_mtimes), k,
                     cfg.kmer, cfg.suppress, tuple(cfg.masks))
             cached_aindex = _ref_cache_get(rkey)
         ref_seq_dev = (device_upload_seq(ref_blk)
@@ -501,10 +516,14 @@ def main_damapper(argv: list[str]) -> int:
         a = argv[i]
         if a.startswith("-") and len(a) > 1 and not a[1].isdigit():
             c = a[1]
-            if c in "vpzCN" and len(a) == 2:
-                flags.add(c)
-            elif c == "v" or c == "p" or c == "z" or c == "C" or c == "N":
+            if c in "vpzCN":
+                # combined flag group: every character must be a legal flag
+                # (ARG_FLAGS DB.h:88-99 errors on the first bad one)
                 for ch in a[1:]:
+                    if ch not in "vpzCN":
+                        print(f"damapper: -{ch} is an illegal option",
+                              file=sys.stderr)
+                        return 1
                     flags.add(ch)
             elif c == "k":
                 kw["kmer"] = int(a[2:])

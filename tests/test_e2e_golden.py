@@ -364,3 +364,53 @@ def test_e2e_ref_index_cache_multiblock(tmp_path):
         assert ta == tb
         d = diff_las(a, b)
         assert not d, d
+
+
+def test_e2e_ref_cache_busts_on_mask_change(tmp_path):
+    """Regenerating a mask track between jobs in one process must bust the
+    ref-index cache (the reference re-reads tracks per invocation,
+    damapper.c:352-388): the cache key folds in the mask files' mtimes."""
+    import os
+
+    from damapper_tpu.pipeline import mapper as mp
+
+    make_dataset(tmp_path, seed=47, glen=60_000, ncontigs=2, nreads=10,
+                 bsize=70_000)
+
+    def iv(r, L):
+        return [(L // 4, L // 4 + 300)] if L >= 2000 else []
+
+    def iv_wide(r, L):
+        return [(L // 4, L // 4 + 2000)] if L >= 4000 else []
+
+    write_mask_track(tmp_path / "ref.dam", "msk", iv)
+    write_mask_track(tmp_path / "reads.db", "msk", iv)
+    cfg = DamapperConfig(masks=["msk"], index_backend="device", mesh=None)
+
+    os.environ["DAMAPPER_REFCACHE"] = "1"
+    mp._ref_index_cache.clear()
+    mp._ref_index_cache_bytes[0] = 0
+    out1 = tmp_path / "o1"
+    out2 = tmp_path / "o2"
+    out1.mkdir(), out2.mkdir()
+    try:
+        run_damapper(str(tmp_path / "ref.dam"), str(tmp_path / "reads.db"),
+                     cfg, out_dir=str(out1))
+        keys1 = set(mp._ref_index_cache)
+        assert keys1, "device ref index should have been cached"
+        # regenerate the ref mask with different intervals; force a
+        # different mtime even on coarse-resolution filesystems
+        write_mask_track(tmp_path / "ref.dam", "msk", iv_wide)
+        annop = tmp_path / ".ref.msk.anno"
+        st = annop.stat()
+        os.utime(annop, (st.st_atime, st.st_mtime + 2))
+        run_damapper(str(tmp_path / "ref.dam"), str(tmp_path / "reads.db"),
+                     cfg, out_dir=str(out2))
+        keys2 = set(mp._ref_index_cache)
+        assert keys2 - keys1, (
+            "changed mask track must produce a NEW cache key (stale index "
+            "would be served otherwise)")
+    finally:
+        os.environ.pop("DAMAPPER_REFCACHE", None)
+        mp._ref_index_cache.clear()
+        mp._ref_index_cache_bytes[0] = 0
