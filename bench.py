@@ -153,6 +153,14 @@ def time_ours(work: pathlib.Path, cfg_kw=None, repeats=None, subdir="ours"):
     a_path = None
     samples = []
     for _ in range(max(1, repeats if repeats is not None else REPEATS)):
+        # honesty: every repeat starts with a COLD ref-index cache, exactly
+        # like the reference binary re-running Sort_Kmers per invocation
+        # (map.c:655).  Within a repeat the cache legitimately amortizes
+        # the ref index across the read-block list (the reference's
+        # per-job rebuild, HPC.damapper.c) — hits/builds are disclosed in
+        # the bench record.
+        mp._ref_index_cache.clear()
+        mp._ref_index_cache_bytes[0] = 0
         t0 = time.time()
         outs = []
         rstats = None
@@ -171,6 +179,8 @@ def time_ours(work: pathlib.Path, cfg_kw=None, repeats=None, subdir="ours"):
                           "align_device_s", "align_host_s"):
                     if st.get(k):
                         rstats[k] = round(rstats.get(k, 0) + st[k], 2)
+                for k in ("ref_index_cache_hits", "ref_index_builds"):
+                    rstats[k] = rstats.get(k, 0) + st.get(k, 0)
         dt = time.time() - t0
         samples.append(round(dt, 2))
         if best is None or dt < best:
@@ -237,6 +247,12 @@ def main():
                 r = subprocess.run([sys.executable, __file__], env=env)
                 sys.exit(r.returncode)
         build_dataset(work)
+        # measurement context: the reference runs -T4 on this host — its
+        # core count frames every vs_baseline ratio
+        result["host_cores"] = os.cpu_count()
+        result["ref_index_cache"] = (
+            "cold per repeat; within a repeat the device ref index is "
+            "reused across the read-block list (hits/builds recorded)")
         # best-of for the reference too: host contention swings its
         # wall-clock 2-3x, and a one-shot ref time makes ratios unfair
         # in either direction
@@ -252,6 +268,8 @@ def main():
         if stats.get("times"):
             result["stage_seconds"] = {
                 k: round(v, 2) for k, v in stats["times"].items()}
+        result["ref_index_cache_hits"] = stats.get("ref_index_cache_hits", 0)
+        result["ref_index_builds"] = stats.get("ref_index_builds", 0)
         if stats.get("align_device_s") is not None:
             # device kernel wall vs host extraction/refinement inside align
             result["align_device_s"] = stats["align_device_s"]

@@ -259,6 +259,7 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
     # ref-index builds recycle their buffers: each aindex is dead once its
     # hits are chained, so the next build reuses the warm pages
     kscratch: dict = {}
+    cache_hits = cache_builds = 0
     for k in range(1, nblocks + 1):
         blk_path = os.path.join(pwd, f"{aroot_stub}.{k}"
                                 + (".dam" if isdam else ".db"))
@@ -308,8 +309,10 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
             if use_device_index:
                 if comp == 0:
                     if cached_aindex is not None:
+                        cache_hits += 1
                         aindex = cached_aindex
                     else:
+                        cache_builds += 1
                         aindex = device_sort_kmers(
                             ref_blk, cfg.kmer, cfg.suppress,
                             seq_dev=ref_seq_dev)
@@ -451,6 +454,8 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
     # the reference's WAVE_STATS counters (align.c:297-312)
     global LAST_STATS
     LAST_STATS = dict(times=dict(times),
+                      ref_index_cache_hits=cache_hits,
+                      ref_index_builds=cache_builds,
                       total_waves=getattr(engine, "total_waves", 0),
                       band_cap=getattr(engine, "W", 0),
                       cell_updates=(getattr(engine, "total_waves", 0)
