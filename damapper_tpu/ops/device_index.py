@@ -304,6 +304,62 @@ def _unpack_seq(packed, starts, ends):
     return jnp.where(inside, seq, jnp.uint8(4))
 
 
+# beyond this many bases the single-shot unpack's int32 interval-map
+# transients (~24 bytes/base across boff_of/end_of/inside) exceed a
+# 16G-HBM chip at Gbp scale — the scan below bounds them per chunk
+_UNPACK_CHUNK_ABOVE = 1 << 28
+_UNPACK_CL = 1 << 27            # bases per chunk (divides every bucket size)
+
+
+@functools.partial(jax.jit, static_argnames=("CL",))
+def _unpack_seq_scan(packed, starts, ends, CL: int):
+    """Chunked _unpack_seq for Gbp-scale buffers: identical output, but the
+    interval map's cummax state (the covering read's start/end — reads are
+    laid out in increasing order, so running maxima ARE the covering
+    bounds) is carried across CL-base chunks by a lax.scan, bounding every
+    int32 transient to CL elements instead of L."""
+    n = packed.shape[0]
+    L = 4 * n
+    assert L % CL == 0
+    nchunk = L // CL
+    pchunks = packed.reshape(nchunk, CL // 4)
+    c0s = jnp.arange(nchunk, dtype=jnp.int32) * CL
+    j = jnp.arange(128, dtype=jnp.int32)
+    sel = (j[None, :] >> 2 == jnp.arange(32, dtype=jnp.int32)[:, None]
+           ).astype(jnp.float32)
+    shifts = (3 - (j & 3)) << 1
+
+    def body(carry, xs):
+        boff_run, end_run = carry
+        pc, c0 = xs
+        rows = pc.reshape(CL // 128, 32).astype(jnp.float32)
+        bytes128 = jnp.dot(rows, sel).astype(jnp.int32)
+        seq = ((bytes128 >> shifts[None, :]) & 3).reshape(CL) \
+            .astype(jnp.uint8)
+        in_r = (starts >= c0) & (starts < c0 + CL)
+        si = jnp.where(in_r, starts - c0, 0)
+        sm = jnp.zeros(CL, jnp.int32).at[si].max(
+            jnp.where(in_r, starts, 0))
+        em = jnp.zeros(CL, jnp.int32).at[si].max(jnp.where(in_r, ends, 0))
+        boff_of = jnp.maximum(lax.cummax(sm), boff_run)
+        end_of = jnp.maximum(lax.cummax(em), end_run)
+        gidx = c0 + jnp.arange(CL, dtype=jnp.int32)
+        inside = (boff_of <= gidx) & (gidx < end_of)
+        out = jnp.where(inside, seq, jnp.uint8(4))
+        return (boff_of[CL - 1], end_of[CL - 1]), out
+
+    _, ys = lax.scan(body, (jnp.int32(0), jnp.int32(0)), (pchunks, c0s))
+    return ys.reshape(L)
+
+
+def unpack_seq_dev(packed, starts, ends):
+    """Dispatch: single-shot unpack below the transient-memory threshold,
+    carried-scan unpack above it (same results)."""
+    if 4 * packed.shape[0] > _UNPACK_CHUNK_ABOVE:
+        return _unpack_seq_scan(packed, starts, ends, _UNPACK_CL)
+    return _unpack_seq(packed, starts, ends)
+
+
 def device_upload_seq(db) -> jax.Array:
     """Upload a loaded block's sentinel sequence once, bucket-padded;
     reusable across orientations and k choices of device_sort_kmers.
@@ -326,8 +382,8 @@ def device_upload_seq(db) -> jax.Array:
     ends = np.zeros(rcap, np.int32)
     starts[:db.nreads] = db.reads["boff"]
     ends[:db.nreads] = db.reads["boff"] + db.reads["rlen"]
-    return _unpack_seq(jnp.asarray(pack_seq(db.seq, cap)),
-                       jnp.asarray(starts), jnp.asarray(ends))
+    return unpack_seq_dev(jnp.asarray(pack_seq(db.seq, cap)),
+                          jnp.asarray(starts), jnp.asarray(ends))
 
 
 def device_sort_kmers(db, kmer: int, suppress: int = 0, comp: bool = False,
@@ -399,6 +455,42 @@ def _join_ranges(bhi, blo, bn, qhi, qlo, join: str = "sort"):
         return b_lo, b_hi
     m = bhi.shape[0]
     nq = qhi.shape[0]
+    if join == "scan" and 2 * nq <= 0x7FFFFFFF:
+        # single-query-image join: b_hi comes from merged-array SCANS, not
+        # a q+1 query copy (the "sort" default) and not gathers (the
+        # "sortg" A/B loser — 3 nq-sized gathers ate its 29% sort saving,
+        # tools/join_ab_results.jsonl).  After ONE combined sort of
+        # [q, b], for every q row:
+        #   b_lo = # b rows strictly before it (equal b keys sort after
+        #          equal q rows via the odd tag),
+        #   b_hi = # b rows with key <= q = m - (# b rows in key groups
+        #          AFTER q's).  The "b rows after my key group" term is a
+        #          segment-broadcast-from-first over the REVERSED merged
+        #          array: the reversed exclusive cumsum of the b tag is
+        #          non-decreasing, so cummax of its value at reversed
+        #          group-firsts propagates exactly my group's value (the
+        #          same value-marked-cummax trick as _self_ranges/_unpack).
+        chi = jnp.concatenate([qhi, bhi])
+        clo = jnp.concatenate([qlo, blo])
+        qidt = jnp.concatenate([
+            jnp.arange(nq, dtype=jnp.int32) << 1,
+            jnp.full(m, (nq << 1) | 1, jnp.int32)])
+        chi, clo, qidt = lax.sort((chi, clo, qidt), num_keys=3)
+        tag = qidt & 1
+        nb_before = jnp.cumsum(tag) - tag
+        first = jnp.concatenate([jnp.ones(1, bool),
+                                 (chi[1:] != chi[:-1])
+                                 | (clo[1:] != clo[:-1])])
+        # reversed-array group firsts mark ORIGINAL group ends
+        first_r = jnp.concatenate([jnp.ones(1, bool), first[::-1][:-1]])
+        tag_r = tag[::-1]
+        excl_r = jnp.cumsum(tag_r) - tag_r      # b rows strictly behind
+        b_after = lax.cummax(jnp.where(first_r, excl_r, 0))[::-1]
+        cbv = (m - b_after) - nb_before         # group b-count, >= 0
+        _, res_lo, res_cb = lax.sort((qidt, nb_before, cbv), num_keys=1)
+        b_lo = jnp.minimum(res_lo[:nq], bn)
+        b_hi = jnp.minimum(res_lo[:nq] + res_cb[:nq], bn)
+        return b_lo, b_hi
     if join == "sortg" and 2 * nq + 1 <= 0x7FFFFFFF:
         # b_hi from b's OWN group spans instead of a q+1 query copy: only
         # one query image rides the combined sort, so both big sorts move

@@ -374,6 +374,20 @@ def run_damapper(ref_path: str, reads_path: str, cfg: DamapperConfig,
                       f"({tfilt / atot / btot:e} of matrix)",
                       file=sys.stderr)
 
+    # free the last ref block's device buffers before the align stage: at
+    # Gbp scale the align upload (full-reference sequence memory) must not
+    # coexist with a ~3GB dead block index (uncached entries only — a
+    # cached index intentionally stays resident for the next job)
+    if use_device_index:
+        if cached_aindex is None and rkey is not None:
+            ent = _ref_index_cache.get(rkey)
+            if ent is None or ent[0] is not aindex:
+                aindex = None
+        elif rkey is None:
+            aindex = None
+        ref_seq_dev = None
+        bindex = bindex_rc = None    # reads indexes are dead too
+
     if nblocks == 1:
         # block 1 IS the full DB: un-complement it (the orientation loop
         # left it reversed — host index path only; the device comp index

@@ -369,7 +369,7 @@ class Reporter:
 
         if os.environ.get("DAMAPPER_PACK_UPLOAD", "1") == "0":
             return jnp.asarray(flat)
-        from ..ops.device_index import _bucket, _unpack_seq, pack_seq
+        from ..ops.device_index import _bucket, pack_seq, unpack_seq_dev
 
         rb = reads_db.reads["boff"].astype(np.int64)
         rl = reads_db.reads["rlen"].astype(np.int64)
@@ -387,8 +387,8 @@ class Reporter:
         # tail unpacks to sentinel 4s, which lane windows treat as
         # boundaries, so the engine can consume the padded buffer as-is
         cap = _bucket(len(flat))
-        return _unpack_seq(jnp.asarray(pack_seq(flat, cap)),
-                           jnp.asarray(s), jnp.asarray(e))
+        return unpack_seq_dev(jnp.asarray(pack_seq(flat, cap)),
+                              jnp.asarray(s), jnp.asarray(e))
 
     def _align_block_batched(self, reads_db, ref_db, state):
         """Align every candidate of every read with the batched wave engine.

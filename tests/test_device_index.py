@@ -251,3 +251,37 @@ def test_device_match_pair(tmp_path):
             np.testing.assert_array_equal(one.bread, two.bread)
             np.testing.assert_array_equal(one.apos, two.apos)
             np.testing.assert_array_equal(one.diag, two.diag)
+
+
+def test_unpack_seq_scan_matches_single_shot():
+    """The Gbp-scale chunked unpack (lax.scan with carried interval-map
+    cummax state) must reproduce _unpack_seq exactly, including sentinel
+    restoration at read boundaries and in the padded tail."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    cap = 4096                      # 8 chunks at CL=512
+    # synthetic read layout: [sentinel] read [sentinel] read ... with the
+    # tail left unoccupied (pure padding)
+    starts, ends = [], []
+    pos = 1
+    seq = np.full(cap, 0, np.uint8)
+    while pos < 3000:
+        ln = int(rng.integers(40, 600))
+        starts.append(pos)
+        ends.append(min(pos + ln, 3000))
+        seq[pos:pos + ln] = rng.integers(0, 4, ln)
+        pos += ln + 1
+    rcap = 256
+    s = np.zeros(rcap, np.int32)
+    e = np.zeros(rcap, np.int32)
+    s[:len(starts)] = starts
+    e[:len(ends)] = ends
+    packed = jnp.asarray(dix.pack_seq(seq[:3000], cap))
+    ref = np.asarray(dix._unpack_seq(packed, jnp.asarray(s),
+                                     jnp.asarray(e)))
+    got = np.asarray(dix._unpack_seq_scan(packed, jnp.asarray(s),
+                                          jnp.asarray(e), 512))
+    np.testing.assert_array_equal(ref, got)
+    # reads spanning chunk boundaries must carry the covering interval
+    assert (ref == 4).any() and (ref != 4).any()
