@@ -69,7 +69,9 @@ def main():
     dbb = reads_db.sizeof() + ref_db.sizeof()
     results = {}
     out = REPO / "tools" / "join_ab_results.jsonl"
-    for mode in ("sort", "sortg", "sort", "sortg"):
+    modes = (sys.argv[3].split(",") if len(sys.argv) > 3
+             else ["sort", "sortg", "sort", "sortg"])
+    for mode in modes:
         os.environ["DAMAPPER_JOIN"] = mode
         t0 = time.time()
         hf, hc = device_match_seeds_pair(bindex, bindex_rc, aindex, mem, dbb)
