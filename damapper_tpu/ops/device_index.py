@@ -436,7 +436,64 @@ def _self_ranges(hi, lo):
     return gl, gr
 
 
-def _join_ranges(bhi, blo, bn, qhi, qlo, join: str = "sort"):
+def _pow2_above(n: int) -> int:
+    return 1 << max(8, int(n - 1).bit_length())
+
+
+def _tight_bucket(n: int, cap: int) -> int:
+    """Static slice bound for the join's b side: the index's padded cap
+    can carry up to 50% sentinel rows (a 201M-cap for a 140M-entry ref
+    block), and the join pays sort/merge traffic for every one of them.
+    1/16-granularity steps bound the pad at ~6% while keeping the set of
+    compile shapes small; tiny arrays keep their cap."""
+    if cap <= (1 << 22) or n >= cap:
+        return cap
+    step = 1 << max(20, int(n).bit_length() - 4)
+    return min(cap, -(-n // step) * step)
+
+
+def _bitonic_merge3(hi, lo, pay):
+    """Sort a BITONIC 3-plane key sequence ((hi, lo, pay) lexicographic,
+    ascending then descending), n a power of two >= 256.
+
+    TPU-tiling-aware: compare-exchange stages run only while the stride
+    is >= 128 (every reshape keeps a >=128-lane minor dim; smaller
+    strides would tile-pad 8x-32x, the compile-OOM class of bug fixed in
+    the packed-upload unpack).  After the stride-128 stage each
+    contiguous 128-block is bitonic and ordered relative to its
+    neighbors, so one batched lax.sort along the minor axis finishes."""
+    n = hi.shape[0]
+    s = n // 2
+    while s >= 128:
+        r = n // (2 * s)
+
+        def halves(x, r=r, s=s):
+            x2 = x.reshape(r, 2 * s)
+            return x2[:, :s], x2[:, s:]
+
+        ha, hb = halves(hi)
+        la, lb = halves(lo)
+        pa, pb = halves(pay)
+        swap = ((ha > hb) | ((ha == hb)
+                            & ((la > lb) | ((la == lb) & (pa > pb)))))
+        hi = jnp.concatenate([jnp.where(swap, hb, ha),
+                              jnp.where(swap, ha, hb)], 1).reshape(n)
+        lo = jnp.concatenate([jnp.where(swap, lb, la),
+                              jnp.where(swap, la, lb)], 1).reshape(n)
+        pay = jnp.concatenate([jnp.where(swap, pb, pa),
+                               jnp.where(swap, pa, pb)], 1).reshape(n)
+        s //= 2
+    # is_stable=False: (hi, lo, pay) is a total order wherever order
+    # matters (q rows have unique pay; b rows are interchangeable) and a
+    # stable sort costs a hidden iota operand + temps at these sizes
+    h2, l2, p2 = lax.sort((hi.reshape(-1, 128), lo.reshape(-1, 128),
+                           pay.reshape(-1, 128)), dimension=1, num_keys=3,
+                          is_stable=False)
+    return h2.reshape(n), l2.reshape(n), p2.reshape(n)
+
+
+def _join_ranges(bhi, blo, bn, qhi, qlo, join: str = "sort",
+                 qsplit: int | None = None):
     """(b_lo, b_hi) spans of each query key in a sorted 2-plane b array via
     a sort-merge join: count of b-keys < q (and < q+1) from one combined
     stable sort — O((m+2q) log) sort throughput instead of per-query
@@ -455,6 +512,69 @@ def _join_ranges(bhi, blo, bn, qhi, qlo, join: str = "sort"):
         return b_lo, b_hi
     m = bhi.shape[0]
     nq = qhi.shape[0]
+    if (join == "merge" and 2 * nq <= 0x7FFFFFFF
+            and _pow2_above(nq + m) >= 256):
+        # both join inputs are ALREADY SORTED (q is the reads' k-mer
+        # index, b the reference's) — so the combined sort is really a
+        # MERGE: concat(q ascending, pad, b descending) is bitonic under
+        # the (hi, lo, qidt) key and one bitonic merge (log n
+        # compare-exchange stages, measured 0.99s vs lax.sort's 2.9s at
+        # the 240M-row block shape, tools/sort_floor.py) replaces the
+        # O(n log^2 n) sort.  b_hi then comes from the same merged-array
+        # scans as the "scan" mode.
+        FULL = jnp.uint32(0xFFFFFFFF)
+        IMAX = jnp.int32(0x7FFFFFFF)
+        qid_b = jnp.int32((nq << 1) | 1)
+        qid_pad = jnp.int32((nq << 1) + 2)      # even (q-like), > real ids
+        if qsplit is not None:
+            # q is the CONCAT of two sorted indexes (fwd + revcomp reads,
+            # _match_count_pair): pre-merge them so the main input is
+            # sorted; the qid payload restores concat order at the end
+            np2 = _pow2_above(nq)
+            qpad = np2 - nq
+            qh_in = jnp.concatenate([qhi[:qsplit],
+                                     jnp.full(qpad, FULL, jnp.uint32),
+                                     qhi[qsplit:][::-1]])
+            ql_in = jnp.concatenate([qlo[:qsplit],
+                                     jnp.full(qpad, FULL, jnp.uint32),
+                                     qlo[qsplit:][::-1]])
+            qid_in = jnp.concatenate([
+                jnp.arange(qsplit, dtype=jnp.int32) << 1,
+                jnp.full(qpad, qid_pad, jnp.int32),
+                (jnp.arange(qsplit, nq, dtype=jnp.int32) << 1)[::-1]])
+            qhi, qlo, qids = _bitonic_merge3(qh_in, ql_in, qid_in)
+            # the qpad rows sort to the very end (FULL keys, qid above
+            # every real id): slicing back to nq keeps exactly the real
+            # rows and the main merge's npow at _pow2_above(nq + m)
+            qhi, qlo, qids = qhi[:nq], qlo[:nq], qids[:nq]
+        else:
+            qids = jnp.arange(nq, dtype=jnp.int32) << 1
+        npow = _pow2_above(nq + m)
+        pad = npow - nq - m
+        chi = jnp.concatenate([qhi, jnp.full(pad, FULL, jnp.uint32),
+                               bhi[::-1]])
+        clo = jnp.concatenate([qlo, jnp.full(pad, FULL, jnp.uint32),
+                               blo[::-1]])
+        qidt = jnp.concatenate([qids,
+                                jnp.full(pad, IMAX, jnp.int32),
+                                jnp.full(m, qid_b, jnp.int32)])
+        chi, clo, qidt = _bitonic_merge3(chi, clo, qidt)
+        tag = qidt & 1
+        nb_before = jnp.cumsum(tag) - tag
+        first = jnp.concatenate([jnp.ones(1, bool),
+                                 (chi[1:] != chi[:-1])
+                                 | (clo[1:] != clo[:-1])])
+        first_r = jnp.concatenate([jnp.ones(1, bool), first[::-1][:-1]])
+        tag_r = tag[::-1]
+        excl_r = jnp.cumsum(tag_r) - tag_r
+        b_after = lax.cummax(jnp.where(first_r, excl_r, 0))[::-1]
+        cbv = ((m + pad) - b_after) - nb_before
+        # unstable restore: qidt is unique over the q rows being restored
+        _, res_lo, res_cb = lax.sort((qidt, nb_before, cbv), num_keys=1,
+                                     is_stable=False)
+        b_lo = jnp.minimum(res_lo[:nq], bn)
+        b_hi = jnp.minimum(res_lo[:nq] + res_cb[:nq], bn)
+        return b_lo, b_hi
     if join == "scan" and 2 * nq <= 0x7FFFFFFF:
         # single-query-image join: b_hi comes from merged-array SCANS, not
         # a q+1 query copy (the "sort" default) and not gathers (the
@@ -562,8 +682,14 @@ def _join_ranges(bhi, blo, bn, qhi, qlo, join: str = "sort"):
 
 def _join_mode() -> str:
     """Single-device join strategy, read at call time (a static jit arg, so
-    one process can run both for A/B without cache poisoning)."""
-    return os.environ.get("DAMAPPER_JOIN", "sort")
+    one process can run both for A/B without cache poisoning).
+
+    Default "merge": both join inputs are sorted indexes, and the bitonic
+    merge + scan epilogue measured 7.5s vs the combined sort's 9.6s at
+    the 50k-config block shape (warm, identical hits —
+    tools/join_ab_results.jsonl).  "sort"/"scan"/"sortg"/"bsearch" remain
+    selectable; the giant-query fallback (>536M slots) stays "sort"."""
+    return os.environ.get("DAMAPPER_JOIN", "merge")
 
 
 def _searchsorted2(khi, klo, qhi, qlo, side: str):
@@ -603,9 +729,10 @@ def _pos_to_read_rpos(p, boffs, kmer: int):
     return r, p - boffs[r] + (kmer - 1)
 
 
-@functools.partial(jax.jit, static_argnames=("use_gram", "join"))
+@functools.partial(jax.jit, static_argnames=("use_gram", "join", "btight"))
 def _match_count_pair(fhi, flo, fan, chi, clo, can, bhi, blo, bn,
-                      use_gram: bool, join: str = "sort"):
+                      use_gram: bool, join: str = "sort",
+                      btight: int | None = None):
     """_match_count for BOTH orientations against one b index: the join
     (the expensive combined sort) runs ONCE over the concatenated
     forward+revcomp query keys; group/histogram epilogues stay
@@ -618,9 +745,15 @@ def _match_count_pair(fhi, flo, fan, chi, clo, can, bhi, blo, bn,
     assert fhi.shape == chi.shape and flo.shape == clo.shape, \
         "fwd/revcomp query indexes must share padded capacity"
     nq = fhi.shape[0]
+    if btight is not None:
+        # rows past bn are sentinel padding; every join result clamps to
+        # bn, so the tight static slice is free precision-wise and cuts
+        # the join's sort/merge traffic by the cap's pad fraction
+        bhi, blo = bhi[:btight], blo[:btight]
     qhi = jnp.concatenate([fhi, chi])
     qlo = jnp.concatenate([flo, clo])
-    b_lo2, b_hi2 = _join_ranges(bhi, blo, bn, qhi, qlo, join)
+    b_lo2, b_hi2 = _join_ranges(bhi, blo, bn, qhi, qlo, join,
+                                qsplit=nq if join == "merge" else None)
 
     def _epi(hi, lo, an_, b_lo, b_hi):
         idx = jnp.arange(nq, dtype=jnp.int32)
@@ -646,15 +779,17 @@ def _match_count_pair(fhi, flo, fan, chi, clo, can, bhi, blo, bn,
     return (b_lo2[:nq], fcb, fct, fgram), (b_lo2[nq:], ccb, cct, cgram)
 
 
-@functools.partial(jax.jit, static_argnames=("use_gram", "join"))
+@functools.partial(jax.jit, static_argnames=("use_gram", "join", "btight"))
 def _match_count(ahi, alo, bhi, blo, an, bn, use_gram: bool,
-                 join: str = "sort"):
+                 join: str = "sort", btight: int | None = None):
     """Pass 1: per-a-entry b-ranges, per-group totals, hit histogram and
     the total emitted-hit count (before the -M cap)."""
     n = ahi.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     live = idx < an
 
+    if btight is not None:
+        bhi, blo = bhi[:btight], blo[:btight]
     b_lo, b_hi = _join_ranges(bhi, blo, bn, ahi, alo, join)
     cb = jnp.where(live, b_hi - b_lo, 0).astype(jnp.int32)
 
@@ -795,7 +930,9 @@ def device_match_seeds(aidx: DeviceKmerIndex, bidx: DeviceKmerIndex,
 
     b_lo, cb, ct, gram = _match_count(aidx.hi, aidx.lo, bidx.hi, bidx.lo,
                                       jnp.int32(aidx.n), jnp.int32(bidx.n),
-                                      mem_limit > 0, _join_mode())
+                                      mem_limit > 0, _join_mode(),
+                                      _tight_bucket(bidx.n,
+                                                    bidx.hi.shape[0]))
     if mem_limit > 0:
         avail = _avail_budget(mem_limit, db_bytes, aidx.n, bidx.n)
         limit = _device_limit(gram, jnp.int32(min(max(avail, 0),
@@ -872,7 +1009,8 @@ def device_match_seeds_pair(reads_fwd: DeviceKmerIndex,
         reads_fwd.hi, reads_fwd.lo, jnp.int32(reads_fwd.n),
         reads_rc.hi, reads_rc.lo, jnp.int32(reads_rc.n),
         ref_idx.hi, ref_idx.lo, jnp.int32(ref_idx.n), mem_limit > 0,
-        _join_mode())
+        _join_mode(),
+        _tight_bucket(ref_idx.n, ref_idx.hi.shape[0]))
     hits_f = _finish_match(reads_fwd, ref_idx, fb_lo, fcb, fct, fgram,
                            mem_limit, db_bytes, False)
     hits_c = _finish_match(reads_rc, ref_idx, cb_lo, ccb, cct, cgram,
