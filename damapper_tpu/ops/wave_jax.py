@@ -827,8 +827,11 @@ class WaveEngine:
 
     # fixed bucket size: every call pads/chunks to this many lanes, so each
     # direction compiles exactly once (compiles are 20-60s on the axon TPU
-    # and there is no persistent cache there)
-    BUCKET = int(os.environ.get("DAMAPPER_WAVE_BUCKET", 256))
+    # and there is no persistent cache there).  128 (round 5, measured):
+    # chunks run to their own slowest lane, so halving the chunk halves
+    # lockstep idle — bench align_device 3.06s vs 3.35s at 140Mb/1k, and
+    # 2.6 vs 3.6 ms/lane at 256-lane rounds (tools/wave_ab_results.jsonl)
+    BUCKET = int(os.environ.get("DAMAPPER_WAVE_BUCKET", 128))
     # chunks dispatched ahead of the pull cursor (bounds device memory:
     # each in-flight chunk holds a packed output incl. its (B,P,4) pool)
     PIPELINE = int(os.environ.get("DAMAPPER_WAVE_PIPELINE", 4))
