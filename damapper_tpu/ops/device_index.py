@@ -145,9 +145,10 @@ def _revcomp_codes(hi, lo, kmer: int):
     return new_hi, new_lo
 
 
-@functools.partial(jax.jit, static_argnames=("kmer", "suppress", "comp"))
+@functools.partial(jax.jit,
+                   static_argnames=("kmer", "suppress", "comp", "tight"))
 def _build_index(seq, boffs, eoffs, mask_bad, kmer: int, suppress: int,
-                 comp: bool):
+                 comp: bool, tight: int | None = None):
     """Jitted index build over a padded sequence array.
 
     seq:      uint8[L] numeric bases with 4-sentinels (padding is sentinel),
@@ -207,8 +208,21 @@ def _build_index(seq, boffs, eoffs, mask_bad, kmer: int, suppress: int,
 
     # pos is unique: 3-key sort == stable 2-key sort, and real entries
     # (pos < _POS_INVALID) precede invalid ones within a sentinel-code
-    # group (the k=32 T^32 collision case, map.c:536-543)
-    hi, lo, pos = lax.sort((hi, lo, pos), num_keys=3)
+    # group (the k=32 T^32 collision case, map.c:536-543).
+    # tight: the seq cap's bucketed pad (up to 44% at a 140Mb block) is
+    # all trailing sentinel rows — already sentinel-keyed with ascending
+    # pos, i.e. already in their final sorted position — so the big sort
+    # runs on the tight prefix only and the tail is concatenated back.
+    def _sorted3(hi, lo, pos):
+        if tight is not None and tight < n:
+            hs, ls, ps = lax.sort(
+                (hi[:tight], lo[:tight], pos[:tight]), num_keys=3)
+            return (jnp.concatenate([hs, hi[tight:]]),
+                    jnp.concatenate([ls, lo[tight:]]),
+                    jnp.concatenate([ps, pos[tight:]]))
+        return lax.sort((hi, lo, pos), num_keys=3)
+
+    hi, lo, pos = _sorted3(hi, lo, pos)
     nvalid = jnp.sum(valid.astype(jnp.int32))
 
     if suppress:
@@ -223,7 +237,8 @@ def _build_index(seq, boffs, eoffs, mask_bad, kmer: int, suppress: int,
         hi = jnp.where(keep, hi, sent)
         lo = jnp.where(keep, lo, sent)
         pos = jnp.where(keep, pos, pos | _POS_INVALID)
-        hi, lo, pos = lax.sort((hi, lo, pos), num_keys=3)
+        # re-keyed entries all live in [:tight] (live implies < nvalid)
+        hi, lo, pos = _sorted3(hi, lo, pos)
         nvalid = jnp.sum(keep.astype(jnp.int32))
 
     # pad back to the bucketed capacity L (kmer-1 sentinel entries): keeps
@@ -410,9 +425,13 @@ def device_sort_kmers(db, kmer: int, suppress: int = 0, comp: bool = False,
     boffs_dev = jnp.asarray(boffs)
     rlens = np.zeros(rcap, np.int32)
     rlens[:db.nreads] = db.reads["rlen"]
+    # tight sort bound: real windows end at the loaded sequence length,
+    # everything past it is trailing sentinel pad in final sorted position
+    n_windows = cap - kmer + 1
+    tight = min(n_windows, _tight_bucket(len(db.seq), n_windows))
     hi, lo, pos, nvalid = _build_index(
         seq_dev, boffs_dev, jnp.asarray(eoffs), jnp.asarray(mb), kmer,
-        suppress, comp)
+        suppress, comp, tight)
     return DeviceKmerIndex(hi, lo, pos, int(nvalid), boffs_dev, kmer,
                            jnp.asarray(rlens))
 
@@ -513,7 +532,12 @@ def _join_ranges(bhi, blo, bn, qhi, qlo, join: str = "sort",
     m = bhi.shape[0]
     nq = qhi.shape[0]
     if (join == "merge" and 2 * nq <= 0x7FFFFFFF
-            and _pow2_above(nq + m) >= 256):
+            and _pow2_above(nq + m) >= 256
+            # the merge materializes ~4 npow-sized i32 temps; past 2^28
+            # rows (e.g. a 260Mb ref block where nq+m = 280M -> npow =
+            # 536M) that exceeds a 16G-HBM chip — fall back to the
+            # combined sort, which needs no pow2 padding
+            and _pow2_above(nq + m) <= (1 << 28)):
         # both join inputs are ALREADY SORTED (q is the reads' k-mer
         # index, b the reference's) — so the combined sort is really a
         # MERGE: concat(q ascending, pad, b descending) is bitonic under

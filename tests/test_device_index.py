@@ -285,3 +285,32 @@ def test_unpack_seq_scan_matches_single_shot():
     np.testing.assert_array_equal(ref, got)
     # reads spanning chunk boundaries must carry the covering interval
     assert (ref == 4).any() and (ref != 4).any()
+
+
+def test_build_index_tight_sort_matches_full(tmp_path):
+    """The tight-prefix sort inside _build_index (trailing sentinel pad
+    is pre-sorted) must be array-equal with the full-cap sort, both
+    orientations, with and without suppression."""
+    import jax.numpy as jnp
+
+    db, _ = make_dbs(tmp_path, seed=5, glen=30_000)
+    seq_dev = dix.device_upload_seq(db)
+    cap = seq_dev.shape[0]
+    rcap = dix._bucket(db.nreads, lo=1 << 8)
+    boffs = np.full(rcap, cap - 1, np.int32)
+    boffs[:db.nreads] = db.reads["boff"]
+    eoffs = np.full(rcap, cap - 1, np.int32)
+    eoffs[:db.nreads] = db.reads["boff"] + db.reads["rlen"]
+    mb = np.zeros(0, np.uint8)
+    n = cap - 14 + 1
+    tight = len(db.seq) + 64          # well under the 4096-min bucket cap
+    for comp in (False, True):
+        for sup in (0, 3):
+            full = dix._build_index(seq_dev, jnp.asarray(boffs),
+                                    jnp.asarray(eoffs), jnp.asarray(mb),
+                                    14, sup, comp, None)
+            tt = dix._build_index(seq_dev, jnp.asarray(boffs),
+                                  jnp.asarray(eoffs), jnp.asarray(mb),
+                                  14, sup, comp, tight)
+            for a, b in zip(full, tt):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
