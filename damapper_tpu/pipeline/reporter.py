@@ -36,6 +36,35 @@ TIE_SCORE = 50     # map.c:48
 TIE_GAP = 500      # map.c:49
 
 
+# process-level device copy of the full-reference align sequence: every
+# read block of a job list aligns against the SAME reference memory, so
+# its packed upload+unpack is shipped once (the upload analog of
+# mapper._ref_index_cache).  Keyed on the DB's identity; bounded by
+# DAMAPPER_SEQCACHE_MB (default 1600 — a 140Mb-class ref caches at
+# ~200MB; a 1Gb ref's 1.6GB is skipped so Gbp match temps keep headroom).
+_ref_seq_cache: dict = {}
+
+
+def _ref_seq_cached(upload, ref_db):
+    try:
+        key = (ref_db.path, ref_db.part, int(ref_db.totlen),
+               os.path.getmtime(ref_db.path + ".bps"))
+    except OSError:
+        key = None
+    budget = int(os.environ.get("DAMAPPER_SEQCACHE_MB", "1600")) << 20
+    if key is not None:
+        ent = _ref_seq_cache.get(key)
+        if ent is not None:
+            return ent
+    dev = upload(ref_db.seq, ref_db.reads["boff"], ref_db.reads["rlen"])
+    if key is not None and os.environ.get("DAMAPPER_REFCACHE", "1") != "0":
+        nbytes = int(dev.shape[0])
+        if nbytes <= budget:
+            _ref_seq_cache.clear()   # one reference at a time is the job
+            _ref_seq_cache[key] = dev
+    return dev
+
+
 @dataclass
 class _Match:
     aread: int
@@ -357,13 +386,14 @@ class Reporter:
     # -- batched block alignment on the device engine -------------------------
 
     @staticmethod
-    def _upload_flat(flat, reads_db, ref_db, comp_off, ref_off):
-        """Device copy of the [reads | comp reads | ref] sequence memory.
+    def _upload_section(flat, boffs, rlens):
+        """Packed upload of one sequence section (sentinel layout).
 
         Ships 2-bit-packed (4 bases/byte) and unpacks on device — the axon
-        tunnel is the bottleneck for block-sized uploads, and the combined
-        buffer is the biggest single transfer of a block run.  Sentinels
-        are restored from the three sections' read-interval tables.
+        tunnel is the bottleneck for block-sized uploads.  Sentinels are
+        restored from the read-interval table; the bucketed cap's padded
+        tail unpacks to sentinel 4s, which lane windows treat as
+        boundaries, so the engine consumes the padded buffer as-is.
         DAMAPPER_PACK_UPLOAD=0 restores the plain upload."""
         import jax.numpy as jnp
 
@@ -371,21 +401,13 @@ class Reporter:
             return jnp.asarray(flat)
         from ..ops.device_index import _bucket, pack_seq, unpack_seq_dev
 
-        rb = reads_db.reads["boff"].astype(np.int64)
-        rl = reads_db.reads["rlen"].astype(np.int64)
-        fb = ref_db.reads["boff"].astype(np.int64)
-        fl = ref_db.reads["rlen"].astype(np.int64)
-        starts = np.concatenate([rb, rb + comp_off, fb + ref_off])
-        ends = np.concatenate([rb + rl, rb + rl + comp_off,
-                               fb + fl + ref_off])
-        rcap = _bucket(len(starts), lo=1 << 8)
+        b = np.asarray(boffs, np.int64)
+        ln = np.asarray(rlens, np.int64)
+        rcap = _bucket(len(b), lo=1 << 8)
         s = np.zeros(rcap, np.int32)
         e = np.zeros(rcap, np.int32)
-        s[:len(starts)] = starts
-        e[:len(ends)] = ends
-        # bucketed cap: stable compile shapes across blocks; the padded
-        # tail unpacks to sentinel 4s, which lane windows treat as
-        # boundaries, so the engine can consume the padded buffer as-is
+        s[:len(b)] = b
+        e[:len(b)] = b + ln
         cap = _bucket(len(flat))
         return unpack_seq_dev(jnp.asarray(pack_seq(flat, cap)),
                               jnp.asarray(s), jnp.asarray(e))
@@ -396,24 +418,34 @@ class Reporter:
         Candidates are independent; seeds within one candidate are sequential
         (each successful LA moves the not-yet-covered boundary `alast`,
         map.c:2487-2576), so alignment proceeds in rounds: one pending seed
-        per live candidate per round, batched across the whole block."""
-        import jax.numpy as jnp
+        per live candidate per round, batched across the whole block.
 
-        from ..io.db import complement_numeric
-
+        The A side ([reads | comp reads]) and B side (reference) upload
+        SEPARATELY: the reference section is identical for every read
+        block of a job list, so its packed upload+unpack is served from a
+        process-level cache (_ref_seq_cache) instead of being re-shipped
+        per block — the upload analog of the ref-index cache."""
         nreads = reads_db.nreads
         rd_seq = reads_db.seq
-        # complemented copy of every read, same offsets
-        comp_seq = rd_seq.copy()
+        rb = reads_db.reads["boff"]
+        rl = reads_db.reads["rlen"]
+        # reverse-complemented copy of every read, same offsets: the
+        # complement is one vectorized pass (3 - base, sentinels stay 4);
+        # the per-read REVERSAL remains a slice loop (reads are
+        # independent intervals)
+        comp_seq = np.where(rd_seq <= 3, 3 - rd_seq, rd_seq) \
+            .astype(np.uint8)
         for i in range(nreads):
-            o = int(reads_db.reads["boff"][i])
-            ln = int(reads_db.reads["rlen"][i])
-            comp_seq[o:o + ln] = complement_numeric(rd_seq[o:o + ln])
+            o = int(rb[i])
+            ln = int(rl[i])
+            comp_seq[o:o + ln] = comp_seq[o:o + ln][::-1]
         ref_seq = ref_db.seq
-        flat = np.concatenate([rd_seq, comp_seq, ref_seq])
+        flat_a = np.concatenate([rd_seq, comp_seq])
         comp_off = len(rd_seq)
-        ref_off = 2 * len(rd_seq)
-        dev = self._upload_flat(flat, reads_db, ref_db, comp_off, ref_off)
+        dev_a = self._upload_section(
+            flat_a, np.concatenate([rb, rb + comp_off]),
+            np.concatenate([rl, rl]))
+        dev_b = _ref_seq_cached(self._upload_section, ref_db)
 
         tasks = []
         per_read = [[] for _ in range(nreads)]
@@ -425,7 +457,7 @@ class Reporter:
                 bboff = int(ref_db.reads["boff"][cand.bread])
                 t = dict(ar=ar, ci=ci, cand=cand, alen=alen, blen=blen,
                          abase=(comp_off + aboff) if cand.comp else aboff,
-                         bbase=ref_off + bboff,
+                         bbase=bboff,
                          pos=0, apos=cand.alast, bpos=cand.blast,
                          alast=alen + 1, results=[])
                 tasks.append(t)
@@ -463,8 +495,8 @@ class Reporter:
                 run_tasks.append(t)
             if not run_tasks:
                 break
-            results = self.engine.local_alignment_batch(dev, dev, flat, flat,
-                                                        seeds)
+            results = self.engine.local_alignment_batch(
+                dev_a, dev_b, flat_a, ref_seq, seeds)
             for t, (apath, bpath) in zip(run_tasks, results):
                 if apath.aepos - apath.abpos >= self.hithr:
                     t["alast"] = apath.abpos
