@@ -56,6 +56,11 @@ NEG_BIG = -np.int32(0x40000000)
 THI_MASK = np.uint32((1 << 29) - 1)
 PATH_TOP_HI_BIT = 28
 SS = int(os.environ.get('DAMAPPER_WAVE_SS', 16))  # snake cols per phase-1 iter
+if SS != 16:
+    import sys as _sys
+    print("damapper_tpu: DAMAPPER_WAVE_SS != 16 is only validated on the "
+          "XLA twin; SS=32 is known to MISCOMPILE on the Mosaic toolchain "
+          "(docs/MOSAIC_ISSUES.md #5)", file=_sys.stderr)
 
 i32 = jnp.int32
 u32 = jnp.uint32
