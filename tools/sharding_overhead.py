@@ -37,6 +37,14 @@ def main():
     nreads = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 
     import jax
+    # the preset axon plugin wins over env vars read this late: force the
+    # CPU platform and the 8-device mesh via config (tests/conftest.py
+    # does the same)
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass
     from damapper_tpu.io import db as dbio
     from damapper_tpu.io import fasta
     from damapper_tpu.io import las as lasio
