@@ -314,3 +314,43 @@ def test_build_index_tight_sort_matches_full(tmp_path):
                                   14, sup, comp, tight)
             for a, b in zip(full, tt):
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_join_modes_agree():
+    """Every selectable join strategy (sort, scan, sortg, bsearch, merge
+    incl. its pre-merged qsplit path) must produce identical b-ranges on
+    sorted inputs with duplicate keys, sentinel padding and all-ones
+    edge keys."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(17)
+
+    def mk(nreal, cap, maxk):
+        hi = rng.integers(0, maxk, nreal).astype(np.uint32)
+        lo = rng.integers(0, 4, nreal).astype(np.uint32)
+        o = np.lexsort((lo, hi))
+        H = np.full(cap, 0xFFFFFFFF, np.uint32)
+        L = np.full(cap, 0xFFFFFFFF, np.uint32)
+        H[:nreal], L[:nreal] = hi[o], lo[o]
+        return jnp.asarray(H), jnp.asarray(L), nreal
+
+    qh, ql, _ = mk(700, 1024, 90)
+    bh, bl, bn = mk(1500, 2048, 90)
+    base = None
+    for mode in ("sort", "scan", "sortg", "bsearch", "merge"):
+        got = dix._join_ranges(bh, bl, jnp.int32(bn), qh, ql, mode)
+        got = tuple(np.asarray(x) for x in got)
+        if base is None:
+            base = got
+        else:
+            for a, b in zip(base, got):
+                np.testing.assert_array_equal(a, b, err_msg=mode)
+    # the pair path's qsplit pre-merge: q = concat of two sorted halves
+    q2h = jnp.concatenate([qh, qh])
+    q2l = jnp.concatenate([ql, ql])
+    ref = dix._join_ranges(bh, bl, jnp.int32(bn), q2h, q2l, "sort")
+    got = dix._join_ranges(bh, bl, jnp.int32(bn), q2h, q2l, "merge",
+                           qsplit=1024)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg="merge qsplit")
